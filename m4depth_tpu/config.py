@@ -1,0 +1,123 @@
+"""Configuration dataclasses for M4Depth-TPU.
+
+Mirrors the flag surface of the reference options registry
+(``/root/reference/m4depth_options.py:8-102``) so the reference shell scripts
+port 1:1, but as typed dataclasses rather than argparse namespaces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class AblationFlags:
+    """Architecture ablation switches.
+
+    Parity: ``M4depthAblationParameters`` in the reference
+    (``m4depth_network.py:21-22``); all default to enabled.
+    """
+
+    dinl: bool = True                 # domain-invariant normalization at encoder level 0
+    sncv: bool = True                 # spatial-neighborhood (auto-correlation) cost volume
+    time_recurr: bool = True          # warped previous-parallax recurrence channel
+    normalize_features: bool = True   # L2-normalize feature sub-vectors before correlation
+    subdivide_features: bool = True   # split feature vectors into 2**(lvl//2) cuts
+    level_memory: bool = True         # 4-channel "other" inter-level memory
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Static model hyperparameters.
+
+    Parity: constructor arguments of ``M4Depth`` and hard-coded constants in
+    the reference (``m4depth_network.py:51-90,138-151,325-349``).
+    """
+
+    num_levels: int = 6
+    encoder_channels: Tuple[int, ...] = (16, 32, 64, 96, 128, 192)
+    refiner_prep_channels: Tuple[int, ...] = (128, 128, 96)
+    refiner_est_channels: Tuple[int, ...] = (64, 32, 16, 5)
+    search_range: int = 4             # DSCV: 2*4+1 = 9 parallax hypotheses
+    sncv_search_range: int = 3        # SNCV: 7x7 = 49 spatial offsets
+    leaky_slope: float = 0.1
+    depth_type: str = "map"           # "map" (dense gt) or "velodyne" (sparse gt)
+    ablation: AblationFlags = dataclasses.field(default_factory=AblationFlags)
+    # TPU-specific knobs (no reference equivalent):
+    compute_dtype: str = "float32"    # conv/correlation dtype: "float32" | "bfloat16"
+    cv_dtype: str = "bfloat16"        # correlation accumulate dtype (reference used fp16,
+                                      # depth_operations.py:276-278; bf16 is TPU-native)
+
+    @property
+    def channels(self) -> Tuple[int, ...]:
+        return self.encoder_channels[: self.num_levels]
+
+    def num_cuts(self, level: int) -> int:
+        """Number of feature sub-vectors at 1-indexed pyramid ``level``.
+
+        Parity: ``nbre_cuts = 2**(lvl_depth//2)`` (m4depth_network.py:173-176).
+        """
+        return 2 ** (level // 2) if self.ablation.subdivide_features else 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset/pipeline settings.
+
+    Parity: ``DataloaderParameters`` namedtuple (dataloaders/generic.py:8) and
+    dataset-specific defaults (dataloaders/{midair,kitti,tartanair}.py).
+    """
+
+    dataset: str = "midair"           # midair | kitti-raw | tartanair
+    records_path: Optional[str] = None
+    db_path_config: Optional[dict] = None
+    db_seq_len: Optional[int] = None
+    seq_len: int = 4
+    batch_size: int = 3
+    augment: bool = True
+    out_size: Optional[Tuple[int, int]] = None   # (h, w); dataset default if None
+    crop: bool = False                # midair finetune crop to kitti size
+    num_workers: int = 8
+    prefetch: int = 4
+    shuffle_seed: int = 42
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization / harness settings.
+
+    Parity: main.py:73-109 (Adam 1e-4, 220k sample-steps, seed 42),
+    finetune-kitti.py:85 (+20k steps), callbacks.py (checkpoint policy).
+    """
+
+    learning_rate: float = 1e-4
+    total_steps: int = 220_000
+    finetune_steps: int = 20_000
+    seed: int = 42
+    ckpt_dir: str = "ckpt"
+    log_dir: Optional[str] = None
+    keep_last_n: int = 5              # callbacks.py:119-129 keeps last 5 epochs
+    keep_top_n: int = 1               # BestCheckpointManager keep_top_n
+    save_interval_epochs: int = 1
+    summary_interval: int = 1200
+    enable_validation: bool = False
+    # Parallelism (TPU-native; the reference's legacy NCCL towers analog):
+    mesh_shape: Tuple[int, ...] = (-1,)          # -1 = all devices on the axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+def load_dataset_locations(path: str) -> dict:
+    """Load and normalize the ``datasets_location.json`` mapping.
+
+    Parity: relative-path normalization in m4depth_options.py:89-95.
+    """
+    with open(path) as f:
+        mapping = json.load(f)
+    root = os.path.dirname(os.path.abspath(path))
+    return {
+        name: (p if os.path.isabs(p) else os.path.normpath(os.path.join(root, p)))
+        for name, p in mapping.items()
+    }

@@ -1,0 +1,133 @@
+"""Tests for the DSCV and SNCV cost volumes."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from m4depth_tpu.geometry import Camera, depth_to_parallax
+from m4depth_tpu.ops.cost_volume import parallax_sweeping_cv, spatial_cost_volume
+
+
+def make_camera(b=1, f=(16.0, 16.0), c=(8.0, 8.0)):
+    return Camera(
+        f=jnp.tile(jnp.array([f], jnp.float32), (b, 1)),
+        c=jnp.tile(jnp.array([c], jnp.float32), (b, 1)),
+    )
+
+
+def numpy_sncv(c1, c2, r, num_cuts, slope=0.1):
+    b, h, w, C = c1.shape
+    cc = C // num_cuts
+    pad = np.pad(c2, ((0, 0), (r, r), (r, r), (0, 0)))
+    outs = []
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            shifted = pad[:, dy:dy + h, dx:dx + w, :]
+            prod = c1 * shifted
+            for k in range(num_cuts):
+                outs.append(prod[..., k * cc:(k + 1) * cc].mean(-1))
+    cv = np.stack(outs, axis=-1)
+    return np.where(cv > 0, cv, cv * slope)
+
+
+class TestSNCV:
+    def test_matches_numpy_oracle(self):
+        rng = np.random.RandomState(0)
+        c = rng.randn(2, 6, 7, 8).astype(np.float32)
+        out = np.array(
+            spatial_cost_volume(jnp.asarray(c), jnp.asarray(c), 2, num_cuts=2,
+                                cv_dtype=jnp.float32)
+        )
+        expected = numpy_sncv(c, c, 2, 2)
+        assert out.shape == (2, 6, 7, 50)
+        np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
+
+    def test_center_offset_is_self_energy(self):
+        rng = np.random.RandomState(1)
+        c = rng.randn(1, 5, 5, 4).astype(np.float32)
+        out = np.array(
+            spatial_cost_volume(jnp.asarray(c), jnp.asarray(c), 1, num_cuts=1,
+                                cv_dtype=jnp.float32)
+        )
+        # offset index (dy=1, dx=1) of 3x3 window = channel 4 (cuts=1)
+        center = out[0, :, :, 4]
+        energy = (c[0] ** 2).mean(-1)
+        expected = np.where(energy > 0, energy, energy * 0.1)
+        np.testing.assert_allclose(center, expected, rtol=1e-4)
+
+    def test_channel_count_scales_with_cuts(self):
+        c = jnp.ones((1, 4, 4, 8), jnp.float32)
+        out = spatial_cost_volume(c, c, 3, num_cuts=4)
+        assert out.shape == (1, 4, 4, 49 * 4)
+
+
+class TestDSCV:
+    def test_shapes(self):
+        b, h, w, C = 2, 8, 8, 8
+        rng = np.random.RandomState(0)
+        cam = make_camera(b)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.full((b, h, w, 1), 2.0, jnp.float32)
+        para_c = jnp.full((b, h, w, 1), 2.0, jnp.float32)
+        rot = jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (b, 1))
+        trans = jnp.tile(jnp.array([[0.5, 0.0, 0.3]], jnp.float32), (b, 1))
+        cv, para_w = parallax_sweeping_cv(
+            c1, c2, para_t, para_c, rot, trans, cam, search_range=4, num_cuts=2
+        )
+        assert cv.shape == (b, h, w, 2 * 9)
+        assert para_w.shape == (b, h, w, 9)
+
+    def test_correct_hypothesis_wins(self):
+        """Build c2 as an exact epipolar pre-image of c1 for a known depth;
+        the hypothesis matching depth_to_parallax(depth) must score highest."""
+        b, h, w, C = 1, 16, 16, 4
+        cam = make_camera(b, f=(16.0, 16.0), c=(8.0, 8.0))
+        rot = jnp.array([[1.0, 0, 0, 0]], jnp.float32)
+        trans = jnp.array([[0.4, 0.0, 0.0]], jnp.float32)  # pure +x translation
+        depth = jnp.full((b, h, w, 1), 3.2, jnp.float32)
+        para = depth_to_parallax(depth, rot, trans, cam)  # = 0.4*16/3.2 = 2.0
+        np.testing.assert_allclose(np.array(para)[0, 0, 0, 0], 2.0, rtol=1e-5)
+
+        # with pure +x translation, the reprojected sample position is
+        # x + parallax; craft c2 so c2[y, x + 2] == c1[y, x]
+        rng = np.random.RandomState(5)
+        c2v = rng.randn(b, h, w, C).astype(np.float32)
+        c2v /= np.linalg.norm(c2v, axis=-1, keepdims=True)
+        c1v = np.roll(c2v, shift=-2, axis=2)  # c1[y,x] = c2[y,x+2]
+
+        # sweep center = true parallax - 1 => winning hypothesis index r+1
+        center = jnp.asarray(np.array(para) - 1.0)
+        cv, _ = parallax_sweeping_cv(
+            jnp.asarray(c1v), jnp.asarray(c2v), jnp.zeros((b, h, w, 1), jnp.float32),
+            center, rot, trans, cam, search_range=4, num_cuts=1,
+            cv_dtype=jnp.float32,
+        )
+        # interior pixels (avoid rolled wrap column and borders)
+        scores = np.array(cv)[0, 4:12, 4:10, :]
+        winner = scores.argmax(-1)
+        assert (winner == 5).mean() > 0.9  # index 5 = offset +1 of 9
+
+    def test_warped_prev_parallax_center_channel(self):
+        """Channel r of the warped temporal parallax equals a warp of
+        para_prev_t by the center-hypothesis flow."""
+        b, h, w, C = 1, 8, 8, 4
+        cam = make_camera(b)
+        rot = jnp.array([[1.0, 0, 0, 0]], jnp.float32)
+        trans = jnp.array([[0.3, 0.1, 0.2]], jnp.float32)
+        rng = np.random.RandomState(2)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(rng.uniform(1, 3, (b, h, w, 1)).astype(np.float32))
+        center = jnp.full((b, h, w, 1), 2.0, jnp.float32)
+
+        from m4depth_tpu.geometry import parallax_sweep_flows
+        from m4depth_tpu.ops.warp import dense_image_warp
+
+        _, para_w = parallax_sweeping_cv(
+            c1, c2, para_t, center, rot, trans, cam, 4, num_cuts=1
+        )
+        flows = parallax_sweep_flows(center, rot, trans, cam, 4)
+        expected = dense_image_warp(para_t, flows[:, 4])
+        np.testing.assert_allclose(
+            np.array(para_w)[..., 4:5], np.array(expected), rtol=1e-4, atol=1e-5
+        )
