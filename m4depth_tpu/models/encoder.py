@@ -1,0 +1,90 @@
+"""Feature pyramid encoder.
+
+Parity reference: ``FeaturePyramid`` + ``DomainNormalization``
+(m4depth_network.py:24-90). Six levels; each level is a stride-1 3x3 conv
+(with domain-invariant normalization at level 0), leaky-relu(0.1), then a
+stride-2 3x3 conv + leaky-relu. Channels (16, 32, 64, 96, 128, 192). Output i
+has stride 2**(i+1).
+
+TPU notes: NHWC layout, HeNormal init, params fp32, compute dtype
+configurable (bf16 recommended on TPU — conv FLOPs ride the MXU). Modules use
+``setup`` (not ``nn.compact``) because they are invoked once per frame of a
+sequence within a single apply.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from m4depth_tpu.config import ModelConfig
+
+
+def leaky_relu(x: jnp.ndarray, slope: float = 0.1) -> jnp.ndarray:
+    return jnp.where(x > 0, x, x * jnp.asarray(slope, x.dtype))
+
+
+class DomainNorm(nn.Module):
+    """Domain-invariant normalization (after Zhang et al., DSMNet).
+
+    Spatially standardize each channel (note: the reference divides by the
+    *variance*, not the std — kept for parity, m4depth_network.py:44-48),
+    L2-normalize along channels (eps 1e-12, as tf.math.l2_normalize), then
+    apply a learned scale and bias.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (1, 1, 1, self.features), jnp.float32)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (1, 1, 1, self.features), jnp.float32)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2), keepdims=True)
+        var = xf.var(axis=(1, 2), keepdims=True)
+        standardized = (xf - mean) / (var + 1e-12)
+        sq = jnp.sum(standardized * standardized, axis=-1, keepdims=True)
+        normed = standardized * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
+        return (self.scale * normed + self.bias).astype(self.dtype)
+
+
+class Encoder(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        init = nn.initializers.he_normal()
+        self.convs_s1 = [
+            nn.Conv(ch, (3, 3), strides=(1, 1), padding="SAME",
+                    kernel_init=init, dtype=dtype, name=f"conv_s1_{i}")
+            for i, ch in enumerate(self.cfg.channels)
+        ]
+        self.convs_s2 = [
+            nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+                    kernel_init=init, dtype=dtype, name=f"conv_s2_{i}")
+            for i, ch in enumerate(self.cfg.channels)
+        ]
+        if self.cfg.ablation.dinl:
+            self.dinl = DomainNorm(self.cfg.channels[0], dtype=dtype, name="dinl")
+
+    def __call__(self, images: jnp.ndarray) -> List[jnp.ndarray]:
+        """images: [b, h, w, 3] in [0, 1] -> list of per-level feature maps."""
+        dtype = jnp.dtype(self.cfg.compute_dtype)
+        x = images.astype(dtype)
+        outputs = []
+        for i, (conv_s1, conv_s2) in enumerate(zip(self.convs_s1, self.convs_s2)):
+            x = conv_s1(x)
+            if self.cfg.ablation.dinl and i == 0:
+                x = self.dinl(x)
+            x = leaky_relu(x, self.cfg.leaky_slope)
+            x = conv_s2(x)
+            x = leaky_relu(x, self.cfg.leaky_slope)
+            outputs.append(x)
+        return outputs

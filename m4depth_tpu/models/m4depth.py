@@ -1,0 +1,135 @@
+"""M4Depth top-level model: recurrent encoder/decoder pyramid.
+
+Parity reference: ``M4Depth`` + ``DepthEstimatorPyramid``
+(m4depth_network.py:265-369). The time axis is handled functionally: the
+per-level temporal memory is an explicit tuple of ``LevelState`` threaded
+through the sequence — one code path serves training windows, windowed eval
+and O(1)-memory streaming inference (``step``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from m4depth_tpu.config import ModelConfig
+from m4depth_tpu.geometry import Camera, resize_nearest, scale_camera
+from m4depth_tpu.models.decoder import DecoderLevel, LevelEstimate, LevelState
+from m4depth_tpu.models.encoder import Encoder
+
+ModelState = Tuple[LevelState, ...]
+Pyramid = List[LevelEstimate]  # finest level first
+
+
+def level_shape(h: int, w: int, idx: int) -> Tuple[int, int]:
+    """Spatial shape of encoder output ``idx`` (stride 2**(idx+1), SAME)."""
+    for _ in range(idx + 1):
+        h = -(-h // 2)
+        w = -(-w // 2)
+    return h, w
+
+
+def init_state(cfg: ModelConfig, batch: int, h: int, w: int,
+               dtype=jnp.float32) -> ModelState:
+    """Zero-filled temporal memory (overwritten on the first new_traj frame)."""
+    states = []
+    for idx in range(cfg.num_levels):
+        hl, wl = level_shape(h, w, idx)
+        states.append(LevelState(
+            f_maps=jnp.zeros((batch, hl, wl, cfg.channels[idx]),
+                             jnp.dtype(cfg.compute_dtype)),
+            depth=jnp.full((batch, hl, wl, 1), 1000.0, dtype),
+        ))
+    return tuple(states)
+
+
+class M4Depth(nn.Module):
+    """Metric depth from a monocular video stream + known 6-DoF motion."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg, name="encoder")
+        self.levels = [
+            DecoderLevel(self.cfg, level=i + 1, name=f"level_{i + 1}")
+            for i in range(self.cfg.num_levels)
+        ]
+
+    def forward_frame(
+        self,
+        state: Optional[ModelState],
+        rgb: jnp.ndarray,
+        rot: jnp.ndarray,
+        trans: jnp.ndarray,
+        camera: Camera,
+        new_traj: Optional[jnp.ndarray],
+        first: bool,
+    ) -> Tuple[ModelState, Pyramid]:
+        """One frame through encoder + decoder pyramid (deepest -> finest).
+
+        ``first=True`` statically marks the frame as a trajectory start for
+        the whole batch (training windows); ``new_traj`` is the per-element
+        dynamic reset mask used in streaming.
+        """
+        L = self.cfg.num_levels
+        f_pyr = self.encoder(rgb)
+        new_states: List[Optional[LevelState]] = [None] * L
+        ests: List[Optional[LevelEstimate]] = [None] * L
+        deeper: Optional[LevelEstimate] = None
+        for idx in reversed(range(L)):
+            cam_l = scale_camera(camera, 2.0 ** (idx + 1))
+            st = None if first else state[idx]
+            est, new_st = self.levels[idx](
+                f_pyr[idx], deeper, st, rot, trans, cam_l, new_traj)
+            deeper = est
+            new_states[idx] = new_st
+            ests[idx] = est
+        return tuple(new_states), ests  # finest first
+
+    def __call__(
+        self,
+        rgb_seq: jnp.ndarray,     # [b, T, h, w, 3]
+        rot_seq: jnp.ndarray,     # [b, T, 3|4]
+        trans_seq: jnp.ndarray,   # [b, T, 3]
+        camera: Camera,
+    ) -> List[Pyramid]:
+        """Process a training/eval window where frame 0 starts the sequence.
+
+        Parity: the reference's train-time functional recurrence
+        (m4depth_network.py:278-323) with batch-synchronized resets.
+        Initialize the model with T >= 2 so the refiner parameters exist.
+        """
+        T = rgb_seq.shape[1]
+        state: Optional[ModelState] = None
+        outs: List[Pyramid] = []
+        for t in range(T):
+            state, pyr = self.forward_frame(
+                state, rgb_seq[:, t], rot_seq[:, t], trans_seq[:, t],
+                camera, new_traj=None, first=(t == 0))
+            outs.append(pyr)
+        return outs
+
+    def step(
+        self,
+        state: ModelState,
+        rgb: jnp.ndarray,        # [b, h, w, 3]
+        rot: jnp.ndarray,        # [b, 3|4]
+        trans: jnp.ndarray,      # [b, 3]
+        camera: Camera,
+        new_traj: jnp.ndarray,   # [b] bool
+    ) -> Tuple[ModelState, jnp.ndarray]:
+        """Streaming inference: one frame in, full-resolution depth out.
+
+        The caller owns the state (create with ``init_state``; pass
+        new_traj=True on each trajectory's first frame). Parity: the
+        reference's eval-time stateful path (m4depth_network.py:153-214)
+        but with per-batch-element resets.
+        """
+        h, w = rgb.shape[1:3]
+        state, pyr = self.forward_frame(
+            state, rgb, rot, trans, camera, new_traj=new_traj, first=False)
+        depth = resize_nearest(pyr[0].depth, (h, w))
+        return state, depth
