@@ -1,0 +1,137 @@
+"""Jitted train/eval step factories.
+
+Replaces the reference's Keras ``train_step``/``test_step`` overrides
+(m4depth_network.py:371-474) with pure functions over an explicit
+``TrainState``; data parallelism is expressed through shardings on a
+``Mesh`` (gradient psums are inserted by XLA — the TPU-native equivalent of
+the legacy NCCL towers, .legacy/multi_gpu_pipeline/feedforward_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training.train_state import TrainState
+from jax.sharding import Mesh
+
+from m4depth_tpu.geometry import Camera, resize_nearest
+from m4depth_tpu.losses import m4depth_loss
+from m4depth_tpu.metrics import MetricAccumulator, clip_for_eval, compute_metrics
+from m4depth_tpu.models import M4Depth, init_state
+from m4depth_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+# Training batch pytree:
+#   rgb      [b, T, h, w, 3] float32 in [0, 1]
+#   depth    [b, T, h, w, 1] float32 (0 = hole for velodyne gt)
+#   rot      [b, T, 4] (w,x,y,z) frame-to-frame quaternion
+#   trans    [b, T, 3] frame-to-frame translation (camera axes)
+#   camera_f [b, 2], camera_c [b, 2] intrinsics
+Batch = Dict[str, jnp.ndarray]
+
+
+def batch_camera(batch: Batch) -> Camera:
+    return Camera(f=batch["camera_f"], c=batch["camera_c"])
+
+
+def _rmse_log(gt: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
+    """Train-time monitoring metric (main.py:94 compiles RMSE_log only)."""
+    gt_c, est_c = clip_for_eval(gt, est)
+    return compute_metrics(gt_c, est_c)["RMSE_log"]
+
+
+def make_train_step(
+    model: M4Depth,
+) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """One optimization step over a [b, T, ...] window."""
+
+    def train_step(state: TrainState, batch: Batch):
+        camera = batch_camera(batch)
+
+        def loss_fn(params):
+            preds = model.apply(params, batch["rgb"], batch["rot"],
+                                batch["trans"], camera)
+            loss = m4depth_loss(batch["depth"], preds, model.cfg.depth_type)
+            return loss, preds
+
+        (loss, preds), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads=grads)
+
+        gt = batch["depth"][:, -1]
+        est = resize_nearest(preds[-1][0].depth, gt.shape[1:3])
+        scalars = {
+            "loss": loss,
+            "RMSE_log": _rmse_log(gt, est),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, scalars
+
+    return train_step
+
+
+def make_windowed_eval_step(model: M4Depth):
+    """KITTI-protocol eval: run a [b, T, ...] window, score the LAST frame
+    only at full resolution (m4depth_network.py:439-455)."""
+
+    def eval_step(params, batch: Batch, acc: MetricAccumulator):
+        camera = batch_camera(batch)
+        preds = model.apply(params, batch["rgb"], batch["rot"],
+                            batch["trans"], camera)
+        gt = batch["depth"][:, -1]
+        est = resize_nearest(preds[-1][0].depth, gt.shape[1:3])
+        gt_c, est_c = clip_for_eval(gt, est)
+        return acc.update(compute_metrics(gt_c, est_c))
+
+    return eval_step
+
+
+def make_streaming_eval_step(model: M4Depth):
+    """Frame-at-a-time eval (Mid-Air / TartanAir protocol): temporal state is
+    carried by the caller; frames flagged new_traj are scored with weight 0
+    (m4depth_network.py:456-470)."""
+
+    def eval_step(params, model_state, frame: Batch, acc: MetricAccumulator):
+        camera = batch_camera(frame)
+        new_traj = frame["new_traj"]
+        model_state, est = model.apply(
+            params, model_state, frame["rgb"], frame["rot"], frame["trans"],
+            camera, new_traj, method=M4Depth.step)
+        gt_c, est_c = clip_for_eval(frame["depth"], est)
+        weight = 1.0 - jnp.max(new_traj.astype(jnp.float32))
+        acc = acc.update(compute_metrics(gt_c, est_c), weight=weight)
+        return model_state, acc
+
+    return eval_step
+
+
+def jit_data_parallel(step_fn, mesh: Mesh, donate_state: bool = True):
+    """Jit a (state, batch) -> (state, aux) step with the batch sharded over
+    the mesh ``data`` axis and the state replicated."""
+    rep = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(rep, data),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def create_train_state(
+    model: M4Depth,
+    rng: jax.Array,
+    sample_batch: Batch,
+    learning_rate: float = 1e-4,
+) -> TrainState:
+    """Initialize params (requires T >= 2 in the sample) + Adam optimizer.
+
+    Parity: Adam(1e-4) (main.py:92).
+    """
+    params = jax.jit(model.init)(
+        rng, sample_batch["rgb"], sample_batch["rot"],
+        sample_batch["trans"], batch_camera(sample_batch))
+    tx = optax.adam(learning_rate)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
