@@ -1,0 +1,119 @@
+"""KITTI finetuning: joint 50/50 KITTI + Mid-Air sampling with velodyne loss.
+
+Parity reference: finetune-kitti.py:13-88 — KITTI windows (db_seq_len 4) and
+Mid-Air windows (db_seq_len 8) cropped to the KITTI output size, sampled
+50/50, depth_type "velodyne", +20k steps from the promoted Mid-Air weights.
+
+Usage:
+  python -m m4depth_tpu.cli.finetune_kitti --records_path=data \
+      --ckpt_dir=ckpt/kitti-finetune
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Iterator
+
+import numpy as np
+
+
+class JointSampler:
+    """50/50 stochastic mix of two batch streams.
+
+    Parity: tf.data.Dataset.sample_from_datasets(weights=[0.5, 0.5])
+    (finetune-kitti.py:54). Length convention: 2x the KITTI epoch
+    (finetune-kitti.py:56).
+    """
+
+    def __init__(self, ds_a, ds_b, seed: int = 42):
+        self.ds_a = ds_a
+        self.ds_b = ds_b
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return 2 * len(self.ds_a)
+
+    @property
+    def batch_size(self):
+        return self.ds_a.batch_size
+
+    def batches(self, epoch: int = 0) -> Iterator[dict]:
+        rng = np.random.RandomState(self.seed + epoch)
+        it_a = self.ds_a.batches(epoch)
+        it_b = self.ds_b.batches(epoch)
+        n = 0
+        while n < len(self):
+            use_a = rng.uniform() < 0.5
+            it = it_a if use_a else it_b
+            try:
+                yield next(it)
+            except StopIteration:
+                # restart the exhausted stream (datasets .repeat() semantics)
+                if use_a:
+                    it_a = self.ds_a.batches(epoch + 1000 + n)
+                    yield next(it_a)
+                else:
+                    it_b = self.ds_b.batches(epoch + 1000 + n)
+                    yield next(it_b)
+            n += 1
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    from m4depth_tpu.cli.options import (
+        build_parser,
+        dataset_locations,
+        model_config_from_args,
+        train_config_from_args,
+    )
+
+    build_parser(parser)
+    cmd, _ = parser.parse_known_args(argv)
+    db_paths = dataset_locations(cmd)
+
+    from m4depth_tpu.data import SequenceDataset, get_adapter
+    from m4depth_tpu.models import M4Depth
+    from m4depth_tpu.train.checkpoints import TrainCheckpointManager
+    from m4depth_tpu.train.loop import fit
+
+    kitti = SequenceDataset(
+        get_adapter("kitti-raw"), db_paths.get("kitti-raw", ""),
+        os.path.join(cmd.records_path, "kitti-raw-filtered", "train_data"),
+        usecase="finetune", db_seq_len=4, seq_len=4,
+        batch_size=cmd.batch_size, augment=True,
+        num_workers=cmd.num_workers)
+    midair = SequenceDataset(
+        get_adapter("midair"), db_paths.get("midair", ""),
+        os.path.join(cmd.records_path, "midair", "train_data"),
+        usecase="finetune", db_seq_len=8, seq_len=4,
+        batch_size=cmd.batch_size, augment=True,
+        out_size=kitti.adapter.out_size, crop=True,
+        num_workers=cmd.num_workers)
+
+    joint = JointSampler(kitti, midair)
+
+    cfg = model_config_from_args(cmd, depth_type="velodyne")
+    model = M4Depth(cfg)
+    tcfg = train_config_from_args(cmd)
+
+    mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
+    resume = mgr.resume_epoch
+    mgr.close()
+    total = resume * len(joint) + cmd.finetune_steps
+
+    validation_fn = None
+    if cmd.enable_validation:
+        from m4depth_tpu.cli.main import make_validation_fn
+
+        validation_fn = make_validation_fn(cmd, model, db_paths)
+
+    fit(model, joint, tcfg, total_steps=total, resume=True,
+        validation_fn=validation_fn)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

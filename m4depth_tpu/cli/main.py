@@ -1,0 +1,248 @@
+"""Entry point: train / finetune / eval / validation / predict.
+
+Parity reference: main.py:37-173 — same modes, same checkpoint-directory
+conventions (ckpt_dir/train for rolling training state, ckpt_dir/best for
+validated backups), same output files (perfs-<dataset>.txt,
+validation-perfs.txt).
+
+Usage:
+  python -m m4depth_tpu.cli.main --mode=train --dataset=midair \
+      --records_path=data/midair/train_data --db_seq_len=8 --seq_len=4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def build_dataset(cmd, usecase: str, db_paths: dict, batch_size: int,
+                  records_path=None, db_seq_len="unset"):
+    from m4depth_tpu.data import SequenceDataset, get_adapter
+
+    adapter = get_adapter(cmd.dataset)
+    db_path = db_paths.get(cmd.dataset, "")
+    return SequenceDataset(
+        adapter,
+        db_path=db_path,
+        records_path=records_path or cmd.records_path,
+        usecase=usecase,
+        db_seq_len=cmd.db_seq_len if db_seq_len == "unset" else db_seq_len,
+        seq_len=cmd.seq_len,
+        batch_size=batch_size,
+        augment=not cmd.no_augmentation,
+        num_workers=cmd.num_workers,
+    )
+
+
+def make_validation_fn(cmd, model, db_paths):
+    """Per-epoch KITTI validation (the reference spawns a background process
+    for this, callbacks.py:142-170; 'sync' runs it inline on the same chip)."""
+    from m4depth_tpu.eval import evaluate, metrics_to_validation_perfs
+
+    val_records = os.path.join(
+        os.path.dirname(os.path.abspath(cmd.db_path_config)),
+        "data", "kitti-raw-filtered", "val_data")
+
+    def validation_fn(params):
+        from m4depth_tpu.data import SequenceDataset, get_adapter
+
+        ds = SequenceDataset(
+            get_adapter("kitti-raw"), db_paths.get("kitti-raw", ""),
+            val_records, usecase="eval", db_seq_len=4, seq_len=4,
+            batch_size=1, augment=False, num_workers=cmd.num_workers)
+        metrics = evaluate(model, params, ds)
+        line = "\t\t".join(format(metrics[k], ".4f") for k in
+                           ("AbsRel", "SqRel", "RMSE", "RMSE_log",
+                            "Delta1", "Delta2", "Delta3"))
+        os.makedirs(cmd.ckpt_dir, exist_ok=True)
+        with open(os.path.join(cmd.ckpt_dir, "validation-perfs.txt"), "a") as f:
+            f.write(line + "\n")
+        return metrics_to_validation_perfs(metrics)
+
+    return validation_fn
+
+
+def restore_params_for_eval(cmd, model, sample_batch, weights_subdir: str):
+    """Build params then restore from ckpt_dir/<subdir> (latest) or
+    ckpt_dir/best (ledger winner)."""
+    from m4depth_tpu.train import create_train_state
+    from m4depth_tpu.train.checkpoints import (
+        BestCheckpointManager,
+        TrainCheckpointManager,
+    )
+
+    state = create_train_state(model, jax.random.PRNGKey(0), sample_batch)
+    if weights_subdir == "best":
+        best = BestCheckpointManager(
+            os.path.join(cmd.ckpt_dir, "train"),
+            os.path.join(cmd.ckpt_dir, "best"),
+            keep_top_n=cmd.keep_top_n)
+        restored = best.restore_best(state)
+        if restored is not None:
+            return restored.params
+        weights_subdir = "train"  # fall back to the rolling store
+    mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, weights_subdir))
+    if mgr.latest_epoch is None:
+        print("No checkpoint found; proceeding with scratch initialization")
+        params = state.params
+    else:
+        params = mgr.restore_latest(state).params
+    mgr.close()
+    return params
+
+
+def sample_batch_like(dataset):
+    """First batch of an eval/predict stream reshaped to a [b,T,...] training
+    batch (T=2) for parameter initialization."""
+    first = next(iter(dataset.batches()))
+    if first["rgb"].ndim == 5:
+        return first
+    raise ValueError("expected windowed batch")
+
+
+def init_sample(cmd, h=64, w=64):
+    rng = np.random.RandomState(0)
+    rot = np.tile(np.array([1.0, 0, 0, 0], np.float32), (1, 2, 1))
+    return {
+        "rgb": rng.rand(1, 2, h, w, 3).astype(np.float32),
+        "depth": rng.uniform(1, 50, (1, 2, h, w, 1)).astype(np.float32),
+        "rot": rot.astype(np.float32),
+        "trans": np.tile(np.array([0.05, 0, 0.4], np.float32), (1, 2, 1)),
+        "camera_f": np.full((1, 2), w / 2, np.float32),
+        "camera_c": np.full((1, 2), w / 2, np.float32),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    from m4depth_tpu.cli.options import (
+        build_parser,
+        dataset_locations,
+        model_config_from_args,
+        train_config_from_args,
+    )
+
+    build_parser(parser)
+    cmd, _ = parser.parse_known_args(argv)
+    db_paths = dataset_locations(cmd)
+
+    from m4depth_tpu.models import M4Depth
+
+    if cmd.mode in ("train", "finetune"):
+        from m4depth_tpu.train.loop import fit
+
+        dataset = build_dataset(cmd, "train", db_paths, cmd.batch_size)
+        cfg = model_config_from_args(cmd, depth_type=dataset.depth_type)
+        model = M4Depth(cfg)
+        tcfg = train_config_from_args(cmd)
+
+        validation_fn = None
+        if cmd.enable_validation:
+            validation_fn = make_validation_fn(cmd, model, db_paths)
+
+        if cmd.mode == "finetune":
+            from m4depth_tpu.train.checkpoints import TrainCheckpointManager
+
+            mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
+            resume = mgr.resume_epoch
+            mgr.close()
+            total = resume * len(dataset) + cmd.finetune_steps
+        else:
+            total = cmd.total_steps
+        fit(model, dataset, tcfg, total_steps=total, resume=True,
+            validation_fn=validation_fn)
+
+    elif cmd.mode in ("eval", "validation"):
+        from m4depth_tpu.eval import (
+            evaluate,
+            metrics_to_validation_perfs,
+            write_perfs,
+        )
+
+        weights_subdir = "train" if cmd.mode == "validation" else "best"
+        dataset = build_dataset(cmd, "eval", db_paths, 1)
+        cfg = model_config_from_args(cmd, depth_type=dataset.depth_type)
+        model = M4Depth(cfg)
+        params = restore_params_for_eval(cmd, model, init_sample(cmd),
+                                         weights_subdir)
+        metrics = evaluate(model, params, dataset, progress_every=500)
+        print({k: round(v, 4) for k, v in metrics.items()})
+
+        if cmd.mode == "validation":
+            from m4depth_tpu.train.checkpoints import (
+                BestCheckpointManager,
+                TrainCheckpointManager,
+            )
+
+            perfs = metrics_to_validation_perfs(metrics)
+            mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
+            from m4depth_tpu.train import create_train_state
+
+            state = create_train_state(model, jax.random.PRNGKey(0),
+                                       init_sample(cmd))
+            epoch = mgr.latest_epoch or 0
+            state = mgr.restore_latest(state)
+            mgr.close()
+            best = BestCheckpointManager(
+                os.path.join(cmd.ckpt_dir, "train"),
+                os.path.join(cmd.ckpt_dir, "best"),
+                keep_top_n=cmd.keep_top_n)
+            best.update(epoch, perfs, state)
+            line = "\t\t".join(
+                format(metrics[k], ".4f")
+                for k in ("AbsRel", "SqRel", "RMSE", "RMSE_log", "Delta1",
+                          "Delta2", "Delta3"))
+            with open(os.path.join(cmd.ckpt_dir, "validation-perfs.txt"),
+                      "a") as f:
+                f.write(line + "\n")
+        else:
+            path = write_perfs(metrics, cmd.ckpt_dir, cmd.dataset)
+            print(f"metrics written to {path}")
+
+    elif cmd.mode == "predict":
+        import jax.numpy as jnp
+
+        from m4depth_tpu.models import M4Depth as _M, init_state
+
+        dataset = build_dataset(cmd, "predict", db_paths, 1)
+        cfg = model_config_from_args(cmd, depth_type=dataset.depth_type)
+        model = M4Depth(cfg)
+        params = restore_params_for_eval(cmd, model, init_sample(cmd), "best")
+
+        from m4depth_tpu.train.step import make_streaming_eval_step  # noqa
+
+        @jax.jit
+        def step(params, state, rgb, rot, trans, f, c, new_traj):
+            from m4depth_tpu.geometry import Camera
+
+            return model.apply(params, state, rgb, rot, trans,
+                               Camera(f, c), new_traj, method=_M.step)
+
+        model_state = None
+        for i, frame in enumerate(dataset.frames()):
+            if model_state is None:
+                b, h, w = frame["rgb"].shape[:3]
+                model_state = init_state(cfg, b, h, w)
+            if i > 0 and frame["new_traj"][0]:
+                print("End of trajectory")
+            model_state, depth = step(
+                params, model_state, jnp.asarray(frame["rgb"]),
+                jnp.asarray(frame["rot"]), jnp.asarray(frame["trans"]),
+                jnp.asarray(frame["camera_f"]), jnp.asarray(frame["camera_c"]),
+                jnp.asarray(frame["new_traj"]))
+            # depth[0] is the [h, w, 1] metric depth estimate for this frame;
+            # downstream consumers hook in here (main.py:163-173).
+    else:
+        parser.print_help()
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+"""Command-line option registry.
+
+Parity reference: ``M4DepthOptions`` (m4depth_options.py:8-102) — same flag
+names so the reference's shell scripts port 1:1 — plus TPU-specific knobs
+(compute dtype, mesh shape, validation mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from m4depth_tpu.config import (
+    AblationFlags,
+    DataConfig,
+    ModelConfig,
+    TrainConfig,
+    load_dataset_locations,
+)
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    g = parser
+    g.add_argument("--dataset", default="",
+                   choices=["midair", "tartanair", "kitti-raw"],
+                   help="Dataset to use")
+    g.add_argument("--ckpt_dir", default="ckpt",
+                   help="Model checkpoint directory")
+    g.add_argument("--mode",
+                   choices=["train", "finetune", "eval", "validation",
+                            "predict"],
+                   help="Run mode")
+    g.add_argument("--db_path_config",
+                   default=os.path.join(REPO_ROOT, "datasets_location.json"),
+                   help="Json file with datasets path configuration")
+    g.add_argument("--batch_size", default=3, type=int)
+    g.add_argument("--records_path", default=None, type=str,
+                   help="csv manifests to use when loading the dataset")
+    g.add_argument("--db_seq_len", default=None, type=int,
+                   help="Dataset sequence length (mandatory for training)")
+    g.add_argument("--seq_len", default=4, type=int,
+                   help="Sequence length fed to the network")
+    g.add_argument("--log_dir", default=None)
+    g.add_argument("--summary_interval", default=1200, type=int)
+    g.add_argument("--save_interval", default=2, type=int)
+    g.add_argument("--no_augmentation", default=False, action="store_true")
+    g.add_argument("--enable_validation", default=False, action="store_true")
+    g.add_argument("--keep_top_n", default=1, type=int)
+    # Ablations
+    g.add_argument("--arch_depth", default=6, type=int)
+    g.add_argument("--no_DINL", default=False, action="store_true")
+    g.add_argument("--no_SNCV", default=False, action="store_true")
+    g.add_argument("--no_time_recurr", default=False, action="store_true")
+    g.add_argument("--no_feature_normalization", default=False,
+                   action="store_true")
+    g.add_argument("--no_feature_subdivision", default=False,
+                   action="store_true")
+    g.add_argument("--no_level_memory", default=False, action="store_true")
+    # TPU-native extras
+    g.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    g.add_argument("--data_mesh", default=-1, type=int,
+                   help="Devices on the data-parallel mesh axis (-1 = all)")
+    g.add_argument("--num_workers", default=8, type=int)
+    g.add_argument("--learning_rate", default=1e-4, type=float)
+    g.add_argument("--total_steps", default=220000, type=int)
+    g.add_argument("--finetune_steps", default=20000, type=int)
+    g.add_argument("--validation_mode", default="sync",
+                   choices=["sync", "subprocess"],
+                   help="Run per-epoch validation inline (sync) or as a "
+                        "background process (the reference's scheme, "
+                        "callbacks.py:142-170)")
+    return parser
+
+
+def ablation_from_args(cmd) -> AblationFlags:
+    return AblationFlags(
+        dinl=not cmd.no_DINL,
+        sncv=not cmd.no_SNCV,
+        time_recurr=not cmd.no_time_recurr,
+        normalize_features=not cmd.no_feature_normalization,
+        subdivide_features=not cmd.no_feature_subdivision,
+        level_memory=not cmd.no_level_memory,
+    )
+
+
+def model_config_from_args(cmd, depth_type: str = "map") -> ModelConfig:
+    return ModelConfig(
+        num_levels=cmd.arch_depth,
+        ablation=ablation_from_args(cmd),
+        depth_type=depth_type,
+        compute_dtype=cmd.compute_dtype,
+    )
+
+
+def train_config_from_args(cmd) -> TrainConfig:
+    return TrainConfig(
+        learning_rate=cmd.learning_rate,
+        total_steps=cmd.total_steps,
+        finetune_steps=cmd.finetune_steps,
+        ckpt_dir=cmd.ckpt_dir,
+        log_dir=cmd.log_dir,
+        keep_top_n=cmd.keep_top_n,
+        summary_interval=cmd.summary_interval,
+        enable_validation=cmd.enable_validation,
+        mesh_shape=(cmd.data_mesh,),
+        mesh_axes=("data",),
+    )
+
+
+def dataset_locations(cmd) -> dict:
+    if os.path.isfile(cmd.db_path_config):
+        return load_dataset_locations(cmd.db_path_config)
+    return {}

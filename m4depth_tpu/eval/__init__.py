@@ -1,0 +1,13 @@
+from m4depth_tpu.eval.evaluator import (
+    evaluate_streaming,
+    evaluate_windowed,
+    evaluate,
+    write_perfs,
+)
+
+__all__ = [
+    "evaluate_streaming",
+    "evaluate_windowed",
+    "evaluate",
+    "write_perfs",
+]

@@ -1,0 +1,94 @@
+"""Evaluation protocols.
+
+Parity reference: ``test_step`` (m4depth_network.py:433-474) + eval wiring
+(main.py:111-148):
+  * Mid-Air / TartanAir: frame-at-a-time streaming, temporal state carried
+    across calls, frames flagged new_traj are excluded from the metrics.
+  * KITTI: 4-frame windows, only the LAST frame is scored (sparse gt with
+    the Garg/Eigen crop applied by the dataloader).
+Metrics are the 7-metric suite with clip-to-[0,80] protocol; results are
+written to ``perfs-<dataset>.txt`` (main.py:147-148).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from m4depth_tpu.data.pipeline import SequenceDataset
+from m4depth_tpu.metrics import METRIC_NAMES, MetricAccumulator
+from m4depth_tpu.models import M4Depth, init_state
+from m4depth_tpu.train.step import (
+    make_streaming_eval_step,
+    make_windowed_eval_step,
+)
+
+
+def evaluate_streaming(model: M4Depth, params, dataset: SequenceDataset,
+                       progress_every: int = 0) -> Dict[str, float]:
+    """Frame-at-a-time evaluation with O(1) device memory."""
+    step = jax.jit(make_streaming_eval_step(model))
+    acc = MetricAccumulator.zeros()
+    model_state = None
+    n = 0
+    for frame in dataset.frames():
+        if model_state is None:
+            b, h, w = frame["rgb"].shape[:3]
+            model_state = init_state(model.cfg, b, h, w)
+        batch = {k: jnp.asarray(v) for k, v in frame.items()}
+        model_state, acc = step(params, model_state, batch, acc)
+        n += 1
+        if progress_every and n % progress_every == 0:
+            print(f"  eval frame {n}", flush=True)
+    return {k: float(v) for k, v in acc.result().items()}
+
+
+def evaluate_windowed(model: M4Depth, params, dataset: SequenceDataset,
+                      progress_every: int = 0) -> Dict[str, float]:
+    """Fixed-window evaluation scoring the last frame of each window."""
+    step = jax.jit(make_windowed_eval_step(model))
+    acc = MetricAccumulator.zeros()
+    n = 0
+    for batch in dataset.batches():
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        acc = step(params, jbatch, acc)
+        n += 1
+        if progress_every and n % progress_every == 0:
+            print(f"  eval window {n}", flush=True)
+    return {k: float(v) for k, v in acc.result().items()}
+
+
+def evaluate(model: M4Depth, params, dataset: SequenceDataset,
+             progress_every: int = 0) -> Dict[str, float]:
+    """Dispatch on the dataset protocol (windowed iff db_seq_len set)."""
+    if dataset.db_seq_len is not None:
+        return evaluate_windowed(model, params, dataset, progress_every)
+    return evaluate_streaming(model, params, dataset, progress_every)
+
+
+def write_perfs(metrics: Dict[str, float], ckpt_dir: str,
+                dataset_name: str) -> str:
+    """perfs-<dataset>.txt, one metric per line (main.py:147-148)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"perfs-{dataset_name}.txt")
+    values = [metrics[name] for name in METRIC_NAMES]
+    np.savetxt(path, np.asarray(values), fmt="%.18e", delimiter="\t")
+    return path
+
+
+def metrics_to_validation_perfs(metrics: Dict[str, float]) -> Dict[str, list]:
+    """Map metric names to the best-checkpoint ledger keys
+    (main.py:138-139)."""
+    return {
+        "abs_rel": metrics["AbsRel"],
+        "sq_rel": metrics["SqRel"],
+        "rmse": metrics["RMSE"],
+        "rmsel": metrics["RMSE_log"],
+        "a1": metrics["Delta1"],
+        "a2": metrics["Delta2"],
+        "a3": metrics["Delta3"],
+    }

@@ -1,0 +1,158 @@
+"""Training loop: epochs, NaN tripwire, checkpoints, validation, telemetry.
+
+Parity reference:
+  * Keras fit loop + callbacks (main.py:105-109, callbacks.py:69-170):
+    restore-latest on start, per-epoch rolling checkpoints, refuse to save
+    after a NaN stop, optional KITTI validation per epoch feeding the best-K
+    manager.
+  * Throughput telemetry (img/sec mean +/- stderr, MAD jitter) mirrors the
+    legacy pipeline's reporting
+    (.legacy/multi_gpu_pipeline/feedforward_pipeline.py:590-611).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from m4depth_tpu.config import TrainConfig
+from m4depth_tpu.data.pipeline import SequenceDataset
+from m4depth_tpu.models import M4Depth
+from m4depth_tpu.parallel import make_mesh, shard_batch_pytree
+from m4depth_tpu.train.checkpoints import (
+    BestCheckpointManager,
+    TrainCheckpointManager,
+)
+from m4depth_tpu.train.step import (
+    create_train_state,
+    jit_data_parallel,
+    make_train_step,
+)
+from m4depth_tpu.utils.logging import MetricLogger
+
+
+class ThroughputMeter:
+    """img/sec statistics: mean +/- stderr and MAD jitter."""
+
+    def __init__(self, batch_size: int):
+        self.batch_size = batch_size
+        self.times = []
+
+    def tick(self, dt: float):
+        self.times.append(dt)
+
+    def report(self) -> Dict[str, float]:
+        if not self.times:
+            return {}
+        arr = np.asarray(self.times[1:] or self.times)
+        ips = self.batch_size / arr
+        mad = float(np.median(np.abs(arr - np.median(arr))))
+        return {
+            "img_per_sec": float(ips.mean()),
+            "img_per_sec_stderr": float(ips.std() / max(len(ips), 1) ** 0.5),
+            "step_time_mad_jitter": mad,
+        }
+
+    def reset(self):
+        self.times = []
+
+
+class NaNStop(RuntimeError):
+    pass
+
+
+def fit(
+    model: M4Depth,
+    dataset: SequenceDataset,
+    cfg: TrainConfig,
+    total_steps: Optional[int] = None,
+    resume: bool = True,
+    validation_fn: Optional[Callable[[object], Dict[str, float]]] = None,
+    nan_check_every: int = 25,
+    log_every: Optional[int] = None,
+) -> object:
+    """Train to ``total_steps`` optimizer steps (sample-steps/len semantics of
+    the reference: epochs = total_steps // len(dataset), main.py:105-107).
+
+    Returns the final TrainState. Raises NaNStop on non-finite loss without
+    saving the poisoned state (callbacks.py:92-95,121).
+    """
+    import os
+
+    total_steps = total_steps or cfg.total_steps
+    steps_per_epoch = len(dataset)
+    if steps_per_epoch == 0:
+        raise ValueError("dataset yields zero batches")
+    n_epochs = max(total_steps // steps_per_epoch, 1)
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    logger = MetricLogger(cfg.log_dir)
+
+    sample = next(dataset.batches(0))
+    state = create_train_state(model, jax.random.PRNGKey(cfg.seed), sample,
+                               learning_rate=cfg.learning_rate)
+
+    ckpt_dir = os.path.join(cfg.ckpt_dir, "train")
+    ckpt_mgr = TrainCheckpointManager(ckpt_dir, max_keep=cfg.keep_last_n)
+    start_epoch = 0
+    if resume:
+        start_epoch = ckpt_mgr.resume_epoch
+        if start_epoch > 0:
+            print(f"Resuming from epoch {start_epoch}")
+            state = ckpt_mgr.restore_latest(state)
+
+    best_mgr = None
+    if validation_fn is not None:
+        best_mgr = BestCheckpointManager(
+            ckpt_dir, os.path.join(cfg.ckpt_dir, "best"),
+            keep_top_n=cfg.keep_top_n)
+
+    dp_step = jit_data_parallel(make_train_step(model), mesh)
+    meter = ThroughputMeter(dataset.batch_size * (sample["rgb"].shape[1]))
+    log_every = log_every or cfg.summary_interval
+
+    step_idx = start_epoch * steps_per_epoch
+    last_scalars = None
+    try:
+        for epoch in range(start_epoch, n_epochs):
+            t_epoch = time.time()
+            for batch in dataset.batches(epoch):
+                sharded = shard_batch_pytree(batch, mesh)
+                t0 = time.time()
+                state, scalars = dp_step(state, sharded)
+                if step_idx % nan_check_every == 0 or step_idx == 0:
+                    loss = float(scalars["loss"])
+                    if not np.isfinite(loss):
+                        raise NaNStop(
+                            f"non-finite loss at step {step_idx}: {loss}")
+                meter.tick(time.time() - t0)
+                last_scalars = scalars
+                if step_idx % log_every == 0:
+                    vals = {k: float(v) for k, v in scalars.items()}
+                    vals.update(meter.report())
+                    logger.log_scalars(step_idx, vals, prefix="train/")
+                    print(f"epoch {epoch} step {step_idx}: " +
+                          " ".join(f"{k}={v:.4g}" for k, v in vals.items()),
+                          flush=True)
+                step_idx += 1
+
+            # epoch end: NaN gate then save
+            if last_scalars is not None and \
+                    not np.isfinite(float(last_scalars["loss"])):
+                raise NaNStop(f"non-finite loss at end of epoch {epoch}")
+            ckpt_mgr.save(epoch, state)
+            print(f"epoch {epoch} done in {time.time() - t_epoch:.1f}s; "
+                  f"checkpoint saved", flush=True)
+
+            if validation_fn is not None:
+                perfs = validation_fn(state.params)
+                logger.log_scalars(step_idx, perfs, prefix="val/")
+                if best_mgr is not None:
+                    best_mgr.update(epoch, perfs, state)
+    finally:
+        ckpt_mgr.close()
+        logger.close()
+    return state

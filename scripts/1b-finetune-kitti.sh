@@ -1,0 +1,20 @@
+#!/bin/bash
+# Finetune on KITTI (joint 50/50 KITTI + Mid-Air stream, velodyne loss).
+# Parity: reference scripts/1b-finetune-kitti.sh — promote the best Mid-Air
+# checkpoint into the finetune train dir, then finetune.
+set -e
+cd "$(dirname "$0")/.."
+
+src="ckpt/midair-d6"
+savepath="ckpt/kitti-finetune-d6"
+
+mkdir -p "$savepath"
+if [ -d "$src/best" ] && [ ! -d "$savepath/train" ]; then
+    cp -r "$src/best" "$savepath/train" 2>/dev/null || true
+fi
+
+python -m m4depth_tpu.cli.finetune_kitti \
+    --records_path=data \
+    --ckpt_dir="$savepath" \
+    --seq_len=4 --arch_depth=6 \
+    --enable_validation "$@"

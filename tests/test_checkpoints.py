@@ -1,0 +1,96 @@
+"""Checkpoint managers: rolling save/restore + best-K majority vote."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from m4depth_tpu.train.checkpoints import (
+    BestCheckpointManager,
+    TrainCheckpointManager,
+)
+
+
+def tiny_state():
+    import optax
+    from flax.training.train_state import TrainState
+
+    params = {"w": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+    return TrainState.create(
+        apply_fn=lambda *a: None, params=params, tx=optax.sgd(0.1))
+
+
+def perfs(abs_rel, a1):
+    return {"abs_rel": abs_rel, "sq_rel": abs_rel, "rmse": abs_rel,
+            "rmsel": abs_rel, "a1": a1, "a2": a1, "a3": a1}
+
+
+class TestTrainCheckpointManager:
+    def test_roundtrip_and_resume_epoch(self, tmp_path):
+        mgr = TrainCheckpointManager(str(tmp_path / "train"), max_keep=2)
+        assert mgr.resume_epoch == 0
+        state = tiny_state()
+        state = state.replace(step=7)
+        mgr.save(3, state)
+        assert mgr.resume_epoch == 4
+        restored = mgr.restore_latest(tiny_state())
+        assert int(restored.step) == 7
+        np.testing.assert_allclose(
+            np.array(restored.params["w"]), np.arange(4.0))
+        mgr.close()
+
+    def test_max_keep_prunes(self, tmp_path):
+        mgr = TrainCheckpointManager(str(tmp_path / "train"), max_keep=2)
+        state = tiny_state()
+        for e in range(4):
+            mgr.save(e, state)
+        assert mgr.latest_epoch == 3
+        steps = sorted(mgr._mgr.all_steps())
+        assert steps == [2, 3]
+        mgr.close()
+
+
+class TestBestCheckpointManager:
+    def test_first_backup_always_kept(self, tmp_path):
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=1)
+        assert best.update(0, perfs(0.5, 0.5), tiny_state())
+        assert best.best_checkpoint_name() == "ckpt-0000"
+
+    def test_majority_vote_replacement(self, tmp_path):
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=1)
+        best.update(0, perfs(0.5, 0.5), tiny_state())
+        # strictly better on all 7 -> replaces
+        assert best.update(1, perfs(0.4, 0.6), tiny_state())
+        assert best.best_checkpoint_name() == "ckpt-0001"
+        # strictly worse on all 7 -> rejected
+        assert not best.update(2, perfs(0.9, 0.1), tiny_state())
+        assert best.best_checkpoint_name() == "ckpt-0001"
+
+    def test_mixed_vote_needs_majority(self, tmp_path):
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=1)
+        best.update(0, perfs(0.5, 0.5), tiny_state())
+        # better on the 4 error metrics, worse on the 3 accuracies: 4 > 3 wins
+        assert best.update(1, perfs(0.4, 0.4), tiny_state())
+        # better on 3 accuracies only: 3 of 7, not a majority
+        assert not best.update(2, perfs(0.45, 0.9), tiny_state())
+
+    def test_top_n_keeps_multiple(self, tmp_path):
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=2)
+        best.update(0, perfs(0.5, 0.5), tiny_state())
+        best.update(1, perfs(0.6, 0.4), tiny_state())  # fills slot 2
+        import pandas as pd
+
+        ledger = pd.read_csv(best.ledger_path)
+        assert ledger.shape[0] == 2
+
+    def test_restore_best(self, tmp_path):
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=1)
+        state = tiny_state().replace(step=42)
+        best.update(0, perfs(0.3, 0.8), state)
+        restored = best.restore_best(tiny_state())
+        assert int(restored.step) == 42
