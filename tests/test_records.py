@@ -1,0 +1,77 @@
+"""Record store: roundtrip fidelity + window parity with the CSV pipeline."""
+
+import numpy as np
+import pytest
+
+from m4depth_tpu.data.records import (
+    RecordSequenceDataset,
+    RecordStoreWriter,
+    RecordTrajectoryReader,
+)
+
+
+def make_frames(rng, n, h=8, w=8):
+    frames = []
+    for i in range(n):
+        frames.append({
+            "RGB_im": rng.rand(h, w, 3).astype(np.float32),
+            "depth": rng.uniform(1, 60, (h, w, 1)).astype(np.float32),
+            "rot": np.array([1, 0, 0, 0], np.float32),
+            "trans": np.array([0.05, 0, 0.4], np.float32),
+            "camera_f": np.array([4.0, 4.0], np.float32),
+            "camera_c": np.array([4.0, 4.0], np.float32),
+            "new_traj": i == 0,
+        })
+    return frames
+
+
+class TestRecordStore:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        frames = make_frames(rng, 5)
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=2)
+        writer.write_trajectory(frames, name="t0")
+        writer.close()
+
+        reader = RecordTrajectoryReader(str(tmp_path / "store"))
+        assert len(reader) == 1
+        assert reader.num_frames(0) == 5
+        out = reader.read_frames(0, 1, 3)
+        assert len(out) == 3
+        # color quantized to uint8: 1/255 tolerance
+        np.testing.assert_allclose(out[0]["RGB_im"], frames[1]["RGB_im"],
+                                   atol=1 / 255.0 + 1e-6)
+        # depth stored float16
+        np.testing.assert_allclose(out[2]["depth"], frames[3]["depth"],
+                                   rtol=1e-3)
+        np.testing.assert_array_equal(out[0]["rot"], frames[1]["rot"])
+
+    def test_multiple_trajectories_across_shards(self, tmp_path):
+        rng = np.random.RandomState(1)
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=2)
+        for t in range(4):
+            writer.write_trajectory(make_frames(rng, 6), name=f"t{t}")
+        writer.close()
+        reader = RecordTrajectoryReader(str(tmp_path / "store"))
+        assert len(reader) == 4
+        for ti in range(4):
+            assert reader.num_frames(ti) == 6
+            out = reader.read_frames(ti, 0, 6)
+            assert len(out) == 6
+
+    def test_windowed_dataset(self, tmp_path):
+        rng = np.random.RandomState(2)
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=1)
+        for t in range(2):
+            writer.write_trajectory(make_frames(rng, 10), name=f"t{t}")
+        writer.close()
+
+        ds = RecordSequenceDataset(str(tmp_path / "store"), usecase="train",
+                                   db_seq_len=8, seq_len=4, batch_size=2,
+                                   augment=False, num_workers=1)
+        assert len(ds) == 1
+        batch = next(ds.batches(0))
+        assert batch["rgb"].shape == (2, 4, 8, 8, 3)
+        assert batch["depth"].shape == (2, 4, 8, 8, 1)
+        np.testing.assert_array_equal(
+            batch["new_traj"], [[True, False, False, False]] * 2)
