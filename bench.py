@@ -5,9 +5,9 @@ the reference's headline use case ("real-time" inference on "most GPUs",
 README.md:15-16; BASELINE.json north star: >10x frames/sec/chip vs the
 TF-GPU reference).
 
-Frames are chained on-device with ``lax.scan`` (the recurrence is inherently
-sequential), so the measurement reflects chip throughput, not host dispatch
-latency.
+All runtime inputs (camera intrinsics included) are jit arguments — closing
+over them as constants triggers an XLA constant-folding pathology that
+dominates the step time.
 
 Prints ONE JSON line:
   {"metric": "stream_fps_384", "value": N, "unit": "frames/sec/chip",
@@ -24,7 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_FPS = 30.0  # reference "real-time" claim (README.md:16)
-CHUNK = 32           # frames per device invocation
 
 
 def main():
@@ -37,45 +36,41 @@ def main():
     b, h, w = 1, 384, 384
 
     rng = np.random.RandomState(0)
-    rgb_i = jnp.asarray(rng.rand(b, 2, 64, 64, 3).astype(np.float32))
-    rot_i = jnp.tile(jnp.array([[[1.0, 0, 0, 0]]], jnp.float32), (b, 2, 1))
-    trans_i = jnp.tile(jnp.array([[[0.05, 0.0, 0.4]]], jnp.float32), (b, 2, 1))
-    cam_i = Camera(f=jnp.full((b, 2), 32.0), c=jnp.full((b, 2), 32.0))
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), rgb_i, rot_i, trans_i, cam_i)
-
-    cam = Camera(f=jnp.full((b, 2), 192.0), c=jnp.full((b, 2), 192.0))
-    go = jnp.zeros((b,), bool)
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.rand(b, 2, 64, 64, 3).astype(np.float32)),
+        jnp.tile(jnp.array([[[1.0, 0, 0, 0]]], jnp.float32), (b, 2, 1)),
+        jnp.tile(jnp.array([[[0.05, 0.0, 0.4]]], jnp.float32), (b, 2, 1)),
+        Camera(f=jnp.full((b, 2), 32.0), c=jnp.full((b, 2), 32.0)))
 
     @jax.jit
-    def run_chunk(params, state, frames, rots, transs):
-        def body(st, inp):
-            rgb, rot, trans = inp
-            st, d = model.apply(params, st, rgb, rot, trans, cam, go,
-                                method=M4Depth.step)
-            return st, d[:, ::64, ::64, 0]  # tiny summary to keep output live
+    def step(params, state, rgb, rot, trans, f, c, new_traj):
+        return model.apply(params, state, rgb, rot, trans, Camera(f, c),
+                           new_traj, method=M4Depth.step)
 
-        return jax.lax.scan(body, state, (frames, rots, transs))
-
-    frames = jnp.asarray(rng.rand(CHUNK, b, h, w, 3).astype(np.float32))
-    rots = jnp.tile(jnp.array([[[1.0, 0.001, -0.002, 0.0005]]], jnp.float32),
-                    (CHUNK, b, 1))
-    transs = jnp.tile(jnp.array([[[0.05, 0.02, 0.4]]], jnp.float32),
-                      (CHUNK, b, 1))
     state = init_state(cfg, b, h, w)
+    rgb = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    rot = jnp.array([[1.0, 0.001, -0.002, 0.0005]], jnp.float32)
+    trans = jnp.array([[0.05, 0.02, 0.4]], jnp.float32)
+    f = jnp.full((b, 2), 192.0)
+    c = jnp.full((b, 2), 192.0)
+    go = jnp.zeros((b,), bool)
 
     # warmup / compile
-    state, out = run_chunk(params, state, frames, rots, transs)
-    jax.block_until_ready(out)
+    state, depth = step(params, state, rgb, rot, trans, f, c,
+                        jnp.ones((b,), bool))
+    for _ in range(50):
+        state, depth = step(params, state, rgb, rot, trans, f, c, go)
+    jax.block_until_ready(depth)
 
-    n_chunks = 8
+    n = 2000
     t0 = time.perf_counter()
-    for _ in range(n_chunks):
-        state, out = run_chunk(params, state, frames, rots, transs)
-    jax.block_until_ready(out)
+    for _ in range(n):
+        state, depth = step(params, state, rgb, rot, trans, f, c, go)
+    jax.block_until_ready(depth)
     dt = time.perf_counter() - t0
 
-    fps = n_chunks * CHUNK * b / dt
+    fps = n * b / dt
     print(json.dumps({
         "metric": "stream_fps_384",
         "value": round(fps, 2),

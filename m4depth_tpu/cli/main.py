@@ -35,8 +35,39 @@ def build_dataset(cmd, usecase: str, db_paths: dict, batch_size: int,
         seq_len=cmd.seq_len,
         batch_size=batch_size,
         augment=not cmd.no_augmentation,
+        out_size=cmd.out_size,
         num_workers=cmd.num_workers,
     )
+
+
+def make_subprocess_validation_fn(cmd):
+    """Background-process validation, the reference's scheme
+    (callbacks.py:142-170): spawn ``--mode=validation`` detached after each
+    epoch. The child runs on CPU (JAX_PLATFORMS=cpu) so it never contends
+    with the training chip — the TPU analog of the reference capping the
+    validation process to 1200 MB of GPU memory (main.py:54-57)."""
+    import subprocess
+
+    def validation_fn(params):
+        del params  # the child restores the latest checkpoint itself
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        args = [
+            sys.executable, "-m", "m4depth_tpu.cli.main",
+            "--mode=validation", "--dataset=kitti-raw",
+            f"--db_path_config={cmd.db_path_config}",
+            f"--ckpt_dir={cmd.ckpt_dir}",
+            "--records_path=" + os.path.join(
+                os.path.dirname(os.path.abspath(cmd.db_path_config)),
+                "data", "kitti-raw-filtered", "val_data"),
+            "--seq_len=4", "--db_seq_len=4",
+            f"--arch_depth={cmd.arch_depth}",
+            f"--keep_top_n={cmd.keep_top_n}",
+        ]
+        subprocess.Popen(args, env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL)
+        return None  # perfs land in the ledger asynchronously
+
+    return validation_fn
 
 
 def make_validation_fn(cmd, model, db_paths):
@@ -144,7 +175,10 @@ def main(argv=None):
 
         validation_fn = None
         if cmd.enable_validation:
-            validation_fn = make_validation_fn(cmd, model, db_paths)
+            if cmd.validation_mode == "subprocess":
+                validation_fn = make_subprocess_validation_fn(cmd)
+            else:
+                validation_fn = make_validation_fn(cmd, model, db_paths)
 
         if cmd.mode == "finetune":
             from m4depth_tpu.train.checkpoints import TrainCheckpointManager

@@ -64,6 +64,12 @@ class NaNStop(RuntimeError):
     pass
 
 
+class OutOfMemory(RuntimeError):
+    """Raised on device RESOURCE_EXHAUSTED so callers can exit cleanly
+    (parity: the legacy pipeline's OOM catch -> exit code -2,
+    .legacy/multi_gpu_pipeline/feedforward_pipeline.py:569-573,620-622)."""
+
+
 def fit(
     model: M4Depth,
     dataset: SequenceDataset,
@@ -122,7 +128,12 @@ def fit(
             for batch in dataset.batches(epoch):
                 sharded = shard_batch_pytree(batch, mesh)
                 t0 = time.time()
-                state, scalars = dp_step(state, sharded)
+                try:
+                    state, scalars = dp_step(state, sharded)
+                except Exception as e:  # surface device OOM distinctly
+                    if "RESOURCE_EXHAUSTED" in str(e):
+                        raise OutOfMemory(str(e)) from e
+                    raise
                 if step_idx % nan_check_every == 0 or step_idx == 0:
                     loss = float(scalars["loss"])
                     if not np.isfinite(loss):
@@ -149,9 +160,10 @@ def fit(
 
             if validation_fn is not None:
                 perfs = validation_fn(state.params)
-                logger.log_scalars(step_idx, perfs, prefix="val/")
-                if best_mgr is not None:
-                    best_mgr.update(epoch, perfs, state)
+                if perfs is not None:  # None => async validation in flight
+                    logger.log_scalars(step_idx, perfs, prefix="val/")
+                    if best_mgr is not None:
+                        best_mgr.update(epoch, perfs, state)
     finally:
         ckpt_mgr.close()
         logger.close()
