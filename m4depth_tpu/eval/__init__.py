@@ -2,6 +2,7 @@ from m4depth_tpu.eval.evaluator import (
     evaluate_streaming,
     evaluate_windowed,
     evaluate,
+    metrics_to_validation_perfs,
     write_perfs,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "evaluate_streaming",
     "evaluate_windowed",
     "evaluate",
+    "metrics_to_validation_perfs",
     "write_perfs",
 ]

@@ -31,7 +31,11 @@ from m4depth_tpu.geometry import (
     resize_bilinear_v1,
 )
 from m4depth_tpu.models.encoder import leaky_relu
-from m4depth_tpu.ops.cost_volume import parallax_sweeping_cv, spatial_cost_volume
+from m4depth_tpu.ops.cost_volume import (
+    parallax_sweeping_cv,
+    parallax_sweeping_cv_expanded,
+    spatial_cost_volume,
+)
 
 
 class LevelState(NamedTuple):
@@ -185,7 +189,9 @@ class DecoderLevel(nn.Module):
         prev_p = prep_features(state.f_maps, cuts, abl.normalize_features)
 
         para_prev_t = prev_depth_to_parallax(state.depth, rot, trans, camera)
-        cv, para_reproj = parallax_sweeping_cv(
+        dscv = (parallax_sweeping_cv_expanded
+                if self.cfg.dscv_impl == "expanded" else parallax_sweeping_cv)
+        cv, para_reproj = dscv(
             curr_p, prev_p, para_prev_t, prev_l.parallax, rot, trans, camera,
             self.cfg.search_range, num_cuts=cuts,
             cv_dtype=jnp.dtype(self.cfg.cv_dtype),

@@ -14,11 +14,116 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from m4depth_tpu.geometry.camera import Camera
-from m4depth_tpu.geometry.parallax import parallax_sweep_flows
+from m4depth_tpu.geometry.parallax import epipolar_terms, parallax_sweep_flows
 from m4depth_tpu.ops.warp import dense_image_warp
+
+
+def parallax_sweeping_cv_expanded(
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    para_prev_t: jnp.ndarray,
+    para_sweep_center: jnp.ndarray,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    camera: Camera,
+    search_range: int,
+    num_cuts: int = 1,
+    cv_dtype: jnp.dtype = jnp.bfloat16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DSCV via channel-expanded static shifts — the TPU-native formulation.
+
+    Mathematically identical to :func:`parallax_sweeping_cv` (the per-pixel
+    bilinear sample is a linear combination of integer-grid taps, and all
+    taps of all 2r+1 hypotheses lie within a radius-(r) disk of the center
+    sample because the hypothesis step along the unit epipolar direction is
+    exactly one pixel). Instead of gathering 4 taps x (2r+1) hypotheses per
+    pixel — (2r+1)x4 serial row fetches on TPU — it:
+
+      1. builds a channel-expanded map of c2 (and the temporal parallax)
+         containing every static shift delta in [-r, r+2)^2 with edge clamp;
+      2. performs ONE contiguous row fetch per output pixel at the clipped
+         integer center position;
+      3. reduces the fetched (2r+3)^2-neighborhood against c1 densely (VPU/
+         MXU einsums) with separable bilinear hypothesis weights.
+
+    This turns a 9x serial-gather problem into dense vector math plus a
+    single gather — ~10x faster at the finest pyramid level on TPU v5e.
+    """
+    b, h, w, C = c1.shape
+    s = 2 * search_range + 1
+    d = 2 * search_range + 3          # delta range [-r, r+2) per axis
+    cc = C // num_cuts
+    ch = C + 1                        # c2 features + temporal parallax
+
+    e = epipolar_terms(h, w, rot, trans, camera)
+    unit = e.delta / jnp.maximum(e.rho, 1e-12)            # [b,h,w,2], |unit|=1
+    disp0 = jnp.clip(para_sweep_center, 1e-6, 1e6)
+    # absolute sampling position in index coords: target + c - 0.5
+    grid_off = (camera.c.reshape(b, 1, 1, 2) - 0.5)
+    center = e.proj + unit * disp0 + grid_off             # [b,h,w,2]
+    cx = jnp.clip(jnp.floor(center[..., 0]), 0, w - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor(center[..., 1]), 0, h - 1).astype(jnp.int32)
+
+    # 1) expanded shifts of (c2 | para_prev_t), edge-clamped
+    combined = jnp.concatenate(
+        [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
+    padded = jnp.pad(
+        combined,
+        ((0, 0), (search_range, search_range + 2),
+         (search_range, search_range + 2), (0, 0)),
+        mode="edge")
+    shifts = [padded[:, dy:dy + h, dx:dx + w, :]
+              for dy in range(d) for dx in range(d)]
+    expanded = jnp.concatenate(shifts, axis=-1)           # [b,h,w,d*d*ch]
+
+    # 2) one contiguous row fetch per pixel
+    flat = expanded.reshape(b, h * w, d * d * ch)
+    idx = (cy * w + cx).reshape(b, h * w, 1)
+    fetched = jnp.take_along_axis(flat, idx, axis=1)
+    patch = fetched.reshape(b, h, w, d, d, ch)            # delta-y, delta-x
+
+    # 3a) per-cut correlation of c1 with every neighborhood position
+    c1c = c1.astype(cv_dtype).reshape(b, h, w, 1, 1, num_cuts, cc)
+    feat = patch[..., :C].reshape(b, h, w, d, d, num_cuts, cc)
+    corr = (c1c * feat).mean(axis=-1)                     # [b,h,w,d,d,cuts]
+    para_patch = patch[..., C]                            # [b,h,w,d,d]
+
+    # 3b) separable bilinear hypothesis weights over the delta grid
+    offsets = jnp.arange(-search_range, search_range + 1, dtype=jnp.float32)
+    disp_k = jnp.clip(para_sweep_center +          # [b,h,w,1] -> [b,h,w,s]
+                      offsets.reshape(1, 1, 1, -1), 1e-6, 1e6)
+    # [b,h,w,s,2] exact query per hypothesis
+    q = (e.proj[..., None, :] + unit[..., None, :] * disp_k[..., None]
+         + grid_off[..., None, :])
+    qx, qy = q[..., 0], q[..., 1]
+    x0 = jnp.clip(jnp.floor(qx), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
+    ax = jnp.clip(qx - x0, 0.0, 1.0)
+    ay = jnp.clip(qy - y0, 0.0, 1.0)
+    relx = x0.astype(jnp.int32) - cx[..., None]           # in [-r, r+1]
+    rely = y0.astype(jnp.int32) - cy[..., None]
+    dgrid = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, 1, d), 4) - search_range     # [-r, r+2)
+    wx = ((dgrid == relx[..., None]) * (1.0 - ax[..., None])
+          + (dgrid == relx[..., None] + 1) * ax[..., None]).astype(cv_dtype)
+    wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
+          + (dgrid == rely[..., None] + 1) * ay[..., None]).astype(cv_dtype)
+
+    # 3c) contract: x-weights then y-weights
+    #   corr [b,h,w,dy,dx,cut] x wx [b,h,w,s,dx] -> [b,h,w,s,dy,cut]
+    t1 = jnp.einsum("bhwyxu,bhwsx->bhwsyu", corr, wx)
+    cv = jnp.einsum("bhwsyu,bhwsy->bhwsu", t1, wy)        # [b,h,w,s,cuts]
+    p1 = jnp.einsum("bhwyx,bhwsx->bhwsy", para_patch, wx)
+    para_w = jnp.einsum("bhwsy,bhwsy->bhws", p1, wy)
+
+    # cut-major / hypothesis-minor channel layout (parity with the gather
+    # implementation)
+    cv = cv.transpose(0, 1, 2, 4, 3).reshape(b, h, w, num_cuts * s)
+    return cv.astype(jnp.float32), para_w.astype(jnp.float32)
 
 
 def parallax_sweeping_cv(

@@ -4,7 +4,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from m4depth_tpu.geometry import Camera, depth_to_parallax
-from m4depth_tpu.ops.cost_volume import parallax_sweeping_cv, spatial_cost_volume
+from m4depth_tpu.ops.cost_volume import (
+    parallax_sweeping_cv,
+    parallax_sweeping_cv_expanded,
+    spatial_cost_volume,
+)
 
 
 def make_camera(b=1, f=(16.0, 16.0), c=(8.0, 8.0)):
@@ -106,6 +110,60 @@ class TestDSCV:
         scores = np.array(cv)[0, 4:12, 4:10, :]
         winner = scores.argmax(-1)
         assert (winner == 5).mean() > 0.9  # index 5 = offset +1 of 9
+
+    def test_expanded_matches_gather_formulation(self):
+        """The TPU-native expanded-shift DSCV must reproduce the direct
+        per-hypothesis warp exactly (both in fp32)."""
+        rng = np.random.RandomState(7)
+        b, h, w, C = 2, 12, 14, 8
+        cam = make_camera(b, f=(10.0, 11.0), c=(7.0, 6.0))
+        rot = jnp.asarray(np.stack([
+            np.array([1.0, 0.01, -0.02, 0.005]) / np.linalg.norm(
+                [1.0, 0.01, -0.02, 0.005]),
+            np.array([1.0, -0.03, 0.01, 0.0]) / np.linalg.norm(
+                [1.0, -0.03, 0.01, 0.0])]).astype(np.float32))
+        trans = jnp.asarray(
+            np.array([[0.3, 0.1, 0.8], [-0.2, 0.4, 1.1]], np.float32))
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(rng.uniform(0.5, 3, (b, h, w, 1)).astype(np.float32))
+        # include small, large and clipped-sweep parallax centers
+        center = jnp.asarray(
+            rng.uniform(0.1, 8.0, (b, h, w, 1)).astype(np.float32))
+
+        cv_ref, pw_ref = parallax_sweeping_cv(
+            c1, c2, para_t, center, rot, trans, cam, 4, num_cuts=2,
+            cv_dtype=jnp.float32)
+        cv_exp, pw_exp = parallax_sweeping_cv_expanded(
+            c1, c2, para_t, center, rot, trans, cam, 4, num_cuts=2,
+            cv_dtype=jnp.float32)
+        np.testing.assert_allclose(np.array(cv_exp), np.array(cv_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.array(pw_exp), np.array(pw_ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_expanded_gradients_finite(self):
+        rng = np.random.RandomState(8)
+        b, h, w, C = 1, 8, 8, 4
+        cam = make_camera(b)
+        rot = jnp.array([[1.0, 0, 0, 0]], jnp.float32)
+        trans = jnp.array([[0.3, 0.1, 0.2]], jnp.float32)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(rng.uniform(1, 3, (b, h, w, 1)).astype(np.float32))
+        center = jnp.asarray(rng.uniform(1, 3, (b, h, w, 1)).astype(np.float32))
+
+        def loss(c1_, c2_, center_):
+            cv, pw = parallax_sweeping_cv_expanded(
+                c1_, c2_, para_t, center_, rot, trans, cam, 4, num_cuts=1,
+                cv_dtype=jnp.float32)
+            return (cv ** 2).sum() + (pw ** 2).sum()
+
+        import jax
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(c1, c2, center)
+        for g in grads:
+            assert np.all(np.isfinite(np.array(g)))
 
     def test_warped_prev_parallax_center_channel(self):
         """Channel r of the warped temporal parallax equals a warp of
