@@ -97,6 +97,9 @@ class TrainConfig:
     """
 
     learning_rate: float = 1e-4
+    lr_schedule: str = "constant"     # "constant" | "staircase" (the legacy
+                                      # halving at 60k/120k/180k/240k/300k,
+                                      # .legacy/m4depth_pipeline.py:192-196)
     total_steps: int = 220_000
     finetune_steps: int = 20_000
     seed: int = 42

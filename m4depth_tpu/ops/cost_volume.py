@@ -55,7 +55,7 @@ def parallax_sweeping_cv_expanded(
     """
     b, h, w, C = c1.shape
     s = 2 * search_range + 1
-    d = 2 * search_range + 3          # delta range [-r, r+2) per axis
+    d = 2 * search_range + 2          # delta range [-r, r+1] per axis
     cc = C // num_cuts
     ch = C + 1                        # c2 features + temporal parallax
 
@@ -68,13 +68,13 @@ def parallax_sweeping_cv_expanded(
     cx = jnp.clip(jnp.floor(center[..., 0]), 0, w - 1).astype(jnp.int32)
     cy = jnp.clip(jnp.floor(center[..., 1]), 0, h - 1).astype(jnp.int32)
 
-    # 1) expanded shifts of (c2 | para_prev_t), edge-clamped
+    # 1) all static shifts delta in [-r, r+1]^2 of (c2 | para), edge-clamped
     combined = jnp.concatenate(
         [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
     padded = jnp.pad(
         combined,
-        ((0, 0), (search_range, search_range + 2),
-         (search_range, search_range + 2), (0, 0)),
+        ((0, 0), (search_range, search_range + 1),
+         (search_range, search_range + 1), (0, 0)),
         mode="edge")
     shifts = [padded[:, dy:dy + h, dx:dx + w, :]
               for dy in range(d) for dx in range(d)]
@@ -84,13 +84,13 @@ def parallax_sweeping_cv_expanded(
     flat = expanded.reshape(b, h * w, d * d * ch)
     idx = (cy * w + cx).reshape(b, h * w, 1)
     fetched = jnp.take_along_axis(flat, idx, axis=1)
-    patch = fetched.reshape(b, h, w, d, d, ch)            # delta-y, delta-x
+    patch = fetched.reshape(b, h, w, d, d, ch)            # (dy, dx, chan)
 
     # 3a) per-cut correlation of c1 with every neighborhood position
     c1c = c1.astype(cv_dtype).reshape(b, h, w, 1, 1, num_cuts, cc)
     feat = patch[..., :C].reshape(b, h, w, d, d, num_cuts, cc)
-    corr = (c1c * feat).mean(axis=-1)                     # [b,h,w,d,d,cuts]
-    para_patch = patch[..., C]                            # [b,h,w,d,d]
+    corr = (c1c * feat).mean(axis=-1)                     # [b,h,w,dy,dx,cuts]
+    para_patch = patch[..., C]                            # [b,h,w,dy,dx]
 
     # 3b) separable bilinear hypothesis weights over the delta grid
     offsets = jnp.arange(-search_range, search_range + 1, dtype=jnp.float32)
@@ -104,21 +104,23 @@ def parallax_sweeping_cv_expanded(
     y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
     ax = jnp.clip(qx - x0, 0.0, 1.0)
     ay = jnp.clip(qy - y0, 0.0, 1.0)
-    relx = x0.astype(jnp.int32) - cx[..., None]           # in [-r, r+1]
+    relx = x0.astype(jnp.int32) - cx[..., None]           # in [-r, r]
     rely = y0.astype(jnp.int32) - cy[..., None]
     dgrid = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, 1, 1, d), 4) - search_range     # [-r, r+2)
+        jnp.int32, (1, 1, 1, 1, d), 4) - search_range     # [-r, r+1]
     wx = ((dgrid == relx[..., None]) * (1.0 - ax[..., None])
           + (dgrid == relx[..., None] + 1) * ax[..., None]).astype(cv_dtype)
     wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
           + (dgrid == rely[..., None] + 1) * ay[..., None]).astype(cv_dtype)
 
-    # 3c) contract: x-weights then y-weights
-    #   corr [b,h,w,dy,dx,cut] x wx [b,h,w,s,dx] -> [b,h,w,s,dy,cut]
-    t1 = jnp.einsum("bhwyxu,bhwsx->bhwsyu", corr, wx)
-    cv = jnp.einsum("bhwsyu,bhwsy->bhwsu", t1, wy)        # [b,h,w,s,cuts]
-    p1 = jnp.einsum("bhwyx,bhwsx->bhwsy", para_patch, wx)
-    para_w = jnp.einsum("bhwsy,bhwsy->bhws", p1, wy)
+    # 3c) contract x-weights then y-weights. Written as broadcast multiply +
+    # sum (NOT einsum): with (b,h,w) as batch dims an einsum lowers to
+    # per-pixel micro-matmuls, which the TPU executes terribly.
+    #   corr [b,h,w,dy,dx,cut], wx/wy [b,h,w,s,d]
+    t1 = (corr[:, :, :, None] * wx[..., None, :, None]).sum(axis=5)
+    cv = (t1 * wy[..., None]).sum(axis=4)                 # [b,h,w,s,cuts]
+    p1 = (para_patch[:, :, :, None] * wx[..., None, :]).sum(axis=-1)
+    para_w = (p1 * wy).sum(axis=-1)                       # [b,h,w,s]
 
     # cut-major / hypothesis-minor channel layout (parity with the gather
     # implementation)

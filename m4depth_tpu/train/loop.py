@@ -29,6 +29,7 @@ from m4depth_tpu.train.checkpoints import (
 from m4depth_tpu.train.step import (
     create_train_state,
     jit_data_parallel,
+    make_summary_step,
     make_train_step,
 )
 from m4depth_tpu.utils.logging import MetricLogger
@@ -94,12 +95,22 @@ def fit(
         raise ValueError("dataset yields zero batches")
     n_epochs = max(total_steps // steps_per_epoch, 1)
 
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
-    logger = MetricLogger(cfg.log_dir)
-
     sample = next(dataset.batches(0))
+    batch_size = sample["rgb"].shape[0]
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+    lr_schedule = getattr(cfg, "lr_schedule", "constant")
+    if batch_size % mesh.devices.size != 0:
+        # shrink the data axis to the largest divisor of the batch
+        n = mesh.devices.size
+        while batch_size % n != 0:
+            n -= 1
+        print(f"batch {batch_size} not divisible by {mesh.devices.size} "
+              f"devices; using a {n}-device data mesh")
+        mesh = make_mesh((n,), cfg.mesh_axes)
+    logger = MetricLogger(cfg.log_dir)
     state = create_train_state(model, jax.random.PRNGKey(cfg.seed), sample,
-                               learning_rate=cfg.learning_rate)
+                               learning_rate=cfg.learning_rate,
+                               lr_schedule=lr_schedule)
 
     ckpt_dir = os.path.join(cfg.ckpt_dir, "train")
     ckpt_mgr = TrainCheckpointManager(ckpt_dir, max_keep=cfg.keep_last_n)
@@ -117,6 +128,7 @@ def fit(
             keep_top_n=cfg.keep_top_n)
 
     dp_step = jit_data_parallel(make_train_step(model), mesh)
+    summary_step = jax.jit(make_summary_step(model)) if cfg.log_dir else None
     meter = ThroughputMeter(dataset.batch_size * (sample["rgb"].shape[1]))
     log_every = log_every or cfg.summary_interval
 
@@ -148,6 +160,11 @@ def fit(
                     print(f"epoch {epoch} step {step_idx}: " +
                           " ".join(f"{k}={v:.4g}" for k, v in vals.items()),
                           flush=True)
+                    if summary_step is not None:
+                        images = summary_step(state.params, sharded)
+                        logger.log_images(
+                            step_idx,
+                            {k: np.asarray(v) for k, v in images.items()})
                 step_idx += 1
 
             # epoch end: NaN gate then save

@@ -72,6 +72,35 @@ def make_train_step(
     return train_step
 
 
+def make_summary_step(model: M4Depth):
+    """Periodic image summaries: input frame, reprojection sanity check,
+    gt and per-level predicted log-depth (parity: the in-graph image
+    summaries of the reference train step, m4depth_network.py:401-415)."""
+
+    def summary_step(params, batch: Batch) -> Dict[str, jnp.ndarray]:
+        from m4depth_tpu.geometry import reproject
+
+        camera = batch_camera(batch)
+        preds = model.apply(params, batch["rgb"], batch["rot"],
+                            batch["trans"], camera)
+        max_d = 200.0
+        gt = batch["depth"][:, -1]
+        reproj, _ = reproject(batch["rgb"][:, -2], gt, batch["rot"][:, -1],
+                              batch["trans"][:, -1], camera)
+        log_norm = lambda x: (  # noqa: E731
+            jnp.log(jnp.clip(x, 1.0, max_d)) / jnp.log(max_d))
+        images = {
+            "RGB_im": batch["rgb"][0, -1],
+            "camera_prev_t_reproj": reproj[0],
+            "depth_gt": log_norm(gt[0]),
+        }
+        for i, est in enumerate(preds[-1]):
+            images[f"depth_lvl_{i}"] = log_norm(est.depth[0])
+        return images
+
+    return summary_step
+
+
 def make_windowed_eval_step(model: M4Depth):
     """KITTI-protocol eval: run a [b, T, ...] window, score the LAST frame
     only at full resolution (m4depth_network.py:439-455)."""
@@ -120,11 +149,23 @@ def jit_data_parallel(step_fn, mesh: Mesh, donate_state: bool = True):
     )
 
 
+def make_lr_schedule(learning_rate: float, schedule: str = "constant"):
+    """"constant" (main.py:92) or "staircase" — halve at 60k/120k/180k/
+    240k/300k steps (legacy parity, .legacy/m4depth_pipeline.py:192-196)."""
+    if schedule == "staircase":
+        return optax.piecewise_constant_schedule(
+            learning_rate,
+            {60_000: 0.5, 120_000: 0.5, 180_000: 0.5, 240_000: 0.5,
+             300_000: 0.5})
+    return learning_rate
+
+
 def create_train_state(
     model: M4Depth,
     rng: jax.Array,
     sample_batch: Batch,
     learning_rate: float = 1e-4,
+    lr_schedule: str = "constant",
 ) -> TrainState:
     """Initialize params (requires T >= 2 in the sample) + Adam optimizer.
 
@@ -133,5 +174,5 @@ def create_train_state(
     params = jax.jit(model.init)(
         rng, sample_batch["rgb"], sample_batch["rot"],
         sample_batch["trans"], batch_camera(sample_batch))
-    tx = optax.adam(learning_rate)
+    tx = optax.adam(make_lr_schedule(learning_rate, lr_schedule))
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
