@@ -23,6 +23,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+try:  # persistent compile cache: repeat runs skip the ~60s XLA compile
+    jax.config.update("jax_compilation_cache_dir", "/tmp/m4depth_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
 BASELINE_FPS = 30.0  # reference "real-time" claim (README.md:16)
 
 

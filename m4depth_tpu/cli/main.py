@@ -205,7 +205,14 @@ def main(argv=None):
         model = M4Depth(cfg)
         params = restore_params_for_eval(cmd, model, init_sample(cmd),
                                          weights_subdir)
-        metrics = evaluate(model, params, dataset, progress_every=500)
+        trace = None
+        if cmd.log_dir and cmd.mode == "eval":
+            from m4depth_tpu.utils.profiling import TraceWindow
+
+            # parity: profile_batch='10, 25' (main.py:122)
+            trace = TraceWindow(cmd.log_dir, 10, 25)
+        metrics = evaluate(model, params, dataset, progress_every=500,
+                           trace=trace)
         print({k: round(v, 4) for k, v in metrics.items()})
 
         if cmd.mode == "validation":

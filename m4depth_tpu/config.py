@@ -53,6 +53,8 @@ class ModelConfig:
     dscv_impl: str = "expanded"       # "expanded": dense static-shift DSCV (one gather
                                       # per pixel, ~10x faster on TPU); "gather": direct
                                       # per-hypothesis warp (reference formulation)
+    sncv_impl: str = "xla"            # "xla": static-slice formulation;
+                                      # "pallas": fused VMEM-resident kernel
 
     @property
     def channels(self) -> Tuple[int, ...]:

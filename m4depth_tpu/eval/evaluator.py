@@ -29,7 +29,8 @@ from m4depth_tpu.train.step import (
 
 
 def evaluate_streaming(model: M4Depth, params, dataset: SequenceDataset,
-                       progress_every: int = 0) -> Dict[str, float]:
+                       progress_every: int = 0,
+                       trace=None) -> Dict[str, float]:
     """Frame-at-a-time evaluation with O(1) device memory."""
     step = jax.jit(make_streaming_eval_step(model))
     acc = MetricAccumulator.zeros()
@@ -39,35 +40,49 @@ def evaluate_streaming(model: M4Depth, params, dataset: SequenceDataset,
         if model_state is None:
             b, h, w = frame["rgb"].shape[:3]
             model_state = init_state(model.cfg, b, h, w)
+        if trace is not None:
+            trace.on_step(n)
         batch = {k: jnp.asarray(v) for k, v in frame.items()}
         model_state, acc = step(params, model_state, batch, acc)
         n += 1
         if progress_every and n % progress_every == 0:
             print(f"  eval frame {n}", flush=True)
+    if trace is not None:
+        trace.close()
     return {k: float(v) for k, v in acc.result().items()}
 
 
 def evaluate_windowed(model: M4Depth, params, dataset: SequenceDataset,
-                      progress_every: int = 0) -> Dict[str, float]:
+                      progress_every: int = 0,
+                      trace=None) -> Dict[str, float]:
     """Fixed-window evaluation scoring the last frame of each window."""
     step = jax.jit(make_windowed_eval_step(model))
     acc = MetricAccumulator.zeros()
     n = 0
     for batch in dataset.batches():
+        if trace is not None:
+            trace.on_step(n)
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
         acc = step(params, jbatch, acc)
         n += 1
         if progress_every and n % progress_every == 0:
             print(f"  eval window {n}", flush=True)
+    if trace is not None:
+        trace.close()
     return {k: float(v) for k, v in acc.result().items()}
 
 
 def evaluate(model: M4Depth, params, dataset: SequenceDataset,
-             progress_every: int = 0) -> Dict[str, float]:
-    """Dispatch on the dataset protocol (windowed iff db_seq_len set)."""
+             progress_every: int = 0, trace=None) -> Dict[str, float]:
+    """Dispatch on the dataset protocol (windowed iff db_seq_len set).
+
+    ``trace``: optional ``utils.profiling.TraceWindow`` — the reference's
+    ``profile_batch='10, 25'`` eval profiling (main.py:122).
+    """
     if dataset.db_seq_len is not None:
-        return evaluate_windowed(model, params, dataset, progress_every)
-    return evaluate_streaming(model, params, dataset, progress_every)
+        return evaluate_windowed(model, params, dataset, progress_every,
+                                 trace)
+    return evaluate_streaming(model, params, dataset, progress_every, trace)
 
 
 def write_perfs(metrics: Dict[str, float], ckpt_dir: str,

@@ -202,7 +202,13 @@ class DecoderLevel(nn.Module):
         if abl.level_memory:
             inputs.append(prev_l.other)
         if abl.sncv:
-            inputs.append(spatial_cost_volume(
+            if self.cfg.sncv_impl == "pallas":
+                from m4depth_tpu.ops.sncv_pallas import (
+                    spatial_cost_volume_pallas as sncv_fn,
+                )
+            else:
+                sncv_fn = spatial_cost_volume
+            inputs.append(sncv_fn(
                 curr_p, curr_p, self.cfg.sncv_search_range, num_cuts=cuts,
                 cv_dtype=jnp.dtype(self.cfg.cv_dtype),
                 leaky_slope=self.cfg.leaky_slope,

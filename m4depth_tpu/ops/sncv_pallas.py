@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: fused spatial-neighborhood cost volume.
+
+The XLA formulation of the SNCV (m4depth_tpu/ops/cost_volume.py
+``spatial_cost_volume``) re-reads c1 and the shifted c2 from HBM for each of
+the (2r+1)^2 offsets. This kernel keeps the c1 row-tile and the padded c2
+in VMEM and sweeps all offsets on the VPU in one pass — one HBM read of each
+input, one write of the output.
+
+Semantics identical to ``spatial_cost_volume`` (per-cut mean correlation per
+offset, offset-major/cut-minor channels, leaky-relu).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _sncv_kernel(c1_ref, c2pad_ref, out_ref, *, search_range, dilation_rate,
+                 num_cuts, th, w, C, leaky_slope):
+    side = 2 * search_range + 1
+    cc = C // num_cuts
+    i = pl.program_id(1)
+    row0 = i * th
+
+    c1 = c1_ref[0].astype(jnp.float32)                    # [th, w, C]
+    c1 = c1.reshape(th, w, num_cuts, cc)
+    for dy in range(side):
+        for dx in range(side):
+            y0 = row0 + dy * dilation_rate
+            x0 = dx * dilation_rate
+            shifted = c2pad_ref[0, pl.ds(y0, th), pl.ds(x0, w), :]
+            shifted = shifted.astype(jnp.float32).reshape(th, w, num_cuts, cc)
+            cost = (c1 * shifted).mean(axis=-1)           # [th, w, cuts]
+            cost = jnp.where(cost > 0, cost, cost * leaky_slope)
+            off = (dy * side + dx) * num_cuts
+            out_ref[0, :, :, off:off + num_cuts] = cost
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def spatial_cost_volume_pallas(
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    search_range: int,
+    dilation_rate: int = 1,
+    num_cuts: int = 1,
+    cv_dtype: jnp.dtype = jnp.bfloat16,
+    leaky_slope: float = 0.1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for ``spatial_cost_volume`` (fp32 accumulate).
+
+    Differentiable via a custom VJP (the backward is a dense shift-sum in
+    plain XLA — the forward kernel is the hot path)."""
+    return _sncv_forward(c1, c2, search_range, dilation_rate, num_cuts,
+                         cv_dtype, leaky_slope, interpret)
+
+
+def _sncv_forward(
+    c1, c2, search_range, dilation_rate=1, num_cuts=1,
+    cv_dtype=jnp.bfloat16, leaky_slope=0.1, interpret=False,
+) -> jnp.ndarray:
+    b, h, w, C = c1.shape
+    r = search_range * dilation_rate
+    side = 2 * search_range + 1
+    th = 8 if h % 8 == 0 else h
+
+    c1 = c1.astype(cv_dtype)
+    c2pad = jnp.pad(c2.astype(cv_dtype),
+                    ((0, 0), (r, r), (r, r), (0, 0)))
+
+    kernel = functools.partial(
+        _sncv_kernel, search_range=search_range,
+        dilation_rate=dilation_rate, num_cuts=num_cuts, th=th, w=w, C=C,
+        leaky_slope=leaky_slope)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, w, C), lambda bi, i: (bi, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h + 2 * r, w + 2 * r, C),
+                         lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, w, side * side * num_cuts),
+                               lambda bi, i: (bi, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, side * side * num_cuts),
+                                       jnp.float32),
+        interpret=interpret,
+    )(c1, c2pad)
+
+
+def _sncv_fwd(c1, c2, search_range, dilation_rate, num_cuts, cv_dtype,
+              leaky_slope, interpret):
+    out = _sncv_forward(c1, c2, search_range, dilation_rate, num_cuts,
+                        cv_dtype, leaky_slope, interpret)
+    return out, (c1, c2, out > 0)
+
+
+def _sncv_bwd(search_range, dilation_rate, num_cuts, cv_dtype, leaky_slope,
+              interpret, residuals, g):
+    """Dense shift-sum backward: d c1 accumulates shifted c2 weighted by the
+    per-offset output grads; d c2 the inverse shifts of grads x c1."""
+    c1, c2, positive = residuals
+    b, h, w, C = c1.shape
+    cc = C // num_cuts
+    r = search_range * dilation_rate
+    side = 2 * search_range + 1
+    gp = (g * jnp.where(positive, 1.0, leaky_slope)).astype(jnp.float32)
+    c1f = c1.astype(jnp.float32)
+    pad2 = jnp.pad(c2.astype(jnp.float32),
+                   ((0, 0), (r, r), (r, r), (0, 0)))
+    dc1 = jnp.zeros((b, h, w, num_cuts, cc), jnp.float32)
+    dpad2 = jnp.zeros_like(pad2).reshape(b, h + 2 * r, w + 2 * r,
+                                         num_cuts, cc)
+    c1r = c1f.reshape(b, h, w, num_cuts, cc)
+    for dy in range(side):
+        for dx in range(side):
+            y0, x0 = dy * dilation_rate, dx * dilation_rate
+            off = (dy * side + dx) * num_cuts
+            go = gp[..., off:off + num_cuts, None] / cc   # [b,h,w,cuts,1]
+            shifted = pad2[:, y0:y0 + h, x0:x0 + w, :].reshape(
+                b, h, w, num_cuts, cc)
+            dc1 = dc1 + go * shifted
+            dpad2 = dpad2.at[:, y0:y0 + h, x0:x0 + w].add(go * c1r)
+    dc2 = dpad2.reshape(b, h + 2 * r, w + 2 * r, C)[:, r:r + h, r:r + w, :]
+    return dc1.reshape(b, h, w, C).astype(c1.dtype), dc2.astype(c2.dtype)
+
+
+spatial_cost_volume_pallas.defvjp(_sncv_fwd, _sncv_bwd)
