@@ -2,12 +2,17 @@
 
 The XLA formulation of the SNCV (m4depth_tpu/ops/cost_volume.py
 ``spatial_cost_volume``) re-reads c1 and the shifted c2 from HBM for each of
-the (2r+1)^2 offsets. This kernel keeps the c1 row-tile and the padded c2
-in VMEM and sweeps all offsets on the VPU in one pass — one HBM read of each
-input, one write of the output.
+the (2r+1)^2 offsets. This kernel keeps the inputs in VMEM and sweeps all
+offsets on the VPU in one pass.
+
+Layout: channels-FIRST inside the kernel — the (H, W) plane rides the
+(sublane, lane) tiling, so every multiply-accumulate is a full-width
+[tile_h, W] vector op instead of a lane-starved [.., C=16] op. The public
+wrapper accepts/returns NHWC and performs the transposes.
 
 Semantics identical to ``spatial_cost_volume`` (per-cut mean correlation per
-offset, offset-major/cut-minor channels, leaky-relu).
+offset, offset-major/cut-minor channels, leaky-relu). Differentiable via a
+custom VJP whose backward is a dense shift-sum in plain XLA.
 """
 
 from __future__ import annotations
@@ -21,28 +26,72 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sncv_kernel(c1_ref, c2pad_ref, out_ref, *, search_range, dilation_rate,
-                 num_cuts, th, w, C, leaky_slope):
+                 num_cuts, cc, th, w, leaky_slope):
+    # c1_ref: [1, C, th, w]; c2pad_ref: [1, C, h+2r, w+2r] (whole image);
+    # out_ref: [1, side^2*cuts, th, w]
     side = 2 * search_range + 1
-    cc = C // num_cuts
     i = pl.program_id(1)
     row0 = i * th
 
-    c1 = c1_ref[0].astype(jnp.float32)                    # [th, w, C]
-    c1 = c1.reshape(th, w, num_cuts, cc)
     for dy in range(side):
         for dx in range(side):
             y0 = row0 + dy * dilation_rate
             x0 = dx * dilation_rate
-            shifted = c2pad_ref[0, pl.ds(y0, th), pl.ds(x0, w), :]
-            shifted = shifted.astype(jnp.float32).reshape(th, w, num_cuts, cc)
-            cost = (c1 * shifted).mean(axis=-1)           # [th, w, cuts]
-            cost = jnp.where(cost > 0, cost, cost * leaky_slope)
-            off = (dy * side + dx) * num_cuts
-            out_ref[0, :, :, off:off + num_cuts] = cost
+            for k in range(num_cuts):
+
+                def body(c, acc):
+                    ch = k * cc + c
+                    a = c1_ref[0, ch].astype(jnp.float32)
+                    bb = c2pad_ref[0, ch, pl.ds(y0, th), pl.ds(x0, w)]
+                    return acc + a * bb.astype(jnp.float32)
+
+                acc = jax.lax.fori_loop(
+                    0, cc, body, jnp.zeros((th, w), jnp.float32))
+                cost = acc * (1.0 / cc)
+                cost = jnp.where(cost > 0, cost, cost * leaky_slope)
+                out_ref[0, (dy * side + dx) * num_cuts + k] = cost
 
 
-@functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _sncv_forward(
+    c1, c2, search_range, dilation_rate=1, num_cuts=1,
+    cv_dtype=jnp.bfloat16, leaky_slope=0.1, interpret=False,
+) -> jnp.ndarray:
+    b, h, w, C = c1.shape
+    r = search_range * dilation_rate
+    side = 2 * search_range + 1
+    cc = C // num_cuts
+    th = 8 if h % 8 == 0 else h
+
+    c1_t = c1.astype(cv_dtype).transpose(0, 3, 1, 2)      # [b, C, h, w]
+    c2pad_t = jnp.pad(c2.astype(cv_dtype).transpose(0, 3, 1, 2),
+                      ((0, 0), (0, 0), (r, r), (r, r)))
+
+    kernel = functools.partial(
+        _sncv_kernel, search_range=search_range,
+        dilation_rate=dilation_rate, num_cuts=num_cuts, cc=cc, th=th, w=w,
+        leaky_slope=leaky_slope)
+
+    out_t = pl.pallas_call(
+        kernel,
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, C, th, w), lambda bi, i: (bi, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, h + 2 * r, w + 2 * r),
+                         lambda bi, i: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, side * side * num_cuts, th, w),
+                               lambda bi, i: (bi, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, side * side * num_cuts, h, w), jnp.float32),
+        interpret=interpret,
+    )(c1_t, c2pad_t)
+    return out_t.transpose(0, 2, 3, 1)                    # NHWC
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def spatial_cost_volume_pallas(
     c1: jnp.ndarray,
     c2: jnp.ndarray,
@@ -53,49 +102,9 @@ def spatial_cost_volume_pallas(
     leaky_slope: float = 0.1,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in replacement for ``spatial_cost_volume`` (fp32 accumulate).
-
-    Differentiable via a custom VJP (the backward is a dense shift-sum in
-    plain XLA — the forward kernel is the hot path)."""
+    """Drop-in replacement for ``spatial_cost_volume`` (fp32 accumulate)."""
     return _sncv_forward(c1, c2, search_range, dilation_rate, num_cuts,
                          cv_dtype, leaky_slope, interpret)
-
-
-def _sncv_forward(
-    c1, c2, search_range, dilation_rate=1, num_cuts=1,
-    cv_dtype=jnp.bfloat16, leaky_slope=0.1, interpret=False,
-) -> jnp.ndarray:
-    b, h, w, C = c1.shape
-    r = search_range * dilation_rate
-    side = 2 * search_range + 1
-    th = 8 if h % 8 == 0 else h
-
-    c1 = c1.astype(cv_dtype)
-    c2pad = jnp.pad(c2.astype(cv_dtype),
-                    ((0, 0), (r, r), (r, r), (0, 0)))
-
-    kernel = functools.partial(
-        _sncv_kernel, search_range=search_range,
-        dilation_rate=dilation_rate, num_cuts=num_cuts, th=th, w=w, C=C,
-        leaky_slope=leaky_slope)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(b, h // th),
-        in_specs=[
-            pl.BlockSpec((1, th, w, C), lambda bi, i: (bi, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h + 2 * r, w + 2 * r, C),
-                         lambda bi, i: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, th, w, side * side * num_cuts),
-                               lambda bi, i: (bi, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, side * side * num_cuts),
-                                       jnp.float32),
-        interpret=interpret,
-    )(c1, c2pad)
 
 
 def _sncv_fwd(c1, c2, search_range, dilation_rate, num_cuts, cv_dtype,
