@@ -26,24 +26,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _sncv_kernel(c1_ref, c2pad_ref, out_ref, *, search_range, dilation_rate,
-                 num_cuts, cc, th, w, leaky_slope):
-    # c1_ref: [1, C, th, w]; c2pad_ref: [1, C, h+2r, w+2r] (whole image);
+                 num_cuts, cc, th, w, band, leaky_slope):
+    # c1_ref: [1, C, th, w]; c2pad_ref: [1, C, hp, wp] (whole image, hp
+    # rounded so the band load below stays in bounds);
     # out_ref: [1, side^2*cuts, th, w]
     side = 2 * search_range + 1
     i = pl.program_id(1)
-    row0 = i * th
+    row0 = pl.multiple_of(i * th, 8)  # aligned sublane start
 
-    for dy in range(side):
-        for dx in range(side):
-            y0 = row0 + dy * dilation_rate
-            x0 = dx * dilation_rate
-            for k in range(num_cuts):
+    for k in range(num_cuts):
+        for dy in range(side):
+            for dx in range(side):
 
                 def body(c, acc):
                     ch = k * cc + c
                     a = c1_ref[0, ch].astype(jnp.float32)
-                    bb = c2pad_ref[0, ch, pl.ds(y0, th), pl.ds(x0, w)]
-                    return acc + a * bb.astype(jnp.float32)
+                    # aligned dynamic load, then static (unaligned) slice of
+                    # the register value — Mosaic cannot prove alignment of a
+                    # row start like row0+dy, so the dy shift happens on the
+                    # loaded band instead
+                    bb = c2pad_ref[0, ch, pl.ds(row0, band), :]
+                    y0, x0 = dy * dilation_rate, dx * dilation_rate
+                    sh = jax.lax.slice(bb, (y0, x0), (y0 + th, x0 + w))
+                    return acc + a * sh.astype(jnp.float32)
 
                 acc = jax.lax.fori_loop(
                     0, cc, body, jnp.zeros((th, w), jnp.float32))
@@ -62,14 +67,17 @@ def _sncv_forward(
     cc = C // num_cuts
     th = 8 if h % 8 == 0 else h
 
+    band = -(-(th + 2 * r) // 8) * 8          # band load size, 8-aligned
+    hp = h + max(2 * r, band - th)            # rows so the last band fits
+
     c1_t = c1.astype(cv_dtype).transpose(0, 3, 1, 2)      # [b, C, h, w]
     c2pad_t = jnp.pad(c2.astype(cv_dtype).transpose(0, 3, 1, 2),
-                      ((0, 0), (0, 0), (r, r), (r, r)))
+                      ((0, 0), (0, 0), (r, hp - h - r), (r, r)))
 
     kernel = functools.partial(
         _sncv_kernel, search_range=search_range,
         dilation_rate=dilation_rate, num_cuts=num_cuts, cc=cc, th=th, w=w,
-        leaky_slope=leaky_slope)
+        band=band, leaky_slope=leaky_slope)
 
     out_t = pl.pallas_call(
         kernel,
@@ -77,7 +85,7 @@ def _sncv_forward(
         in_specs=[
             pl.BlockSpec((1, C, th, w), lambda bi, i: (bi, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, h + 2 * r, w + 2 * r),
+            pl.BlockSpec((1, C, hp, w + 2 * r),
                          lambda bi, i: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
