@@ -279,6 +279,17 @@ def main(argv=None):
                 jnp.asarray(frame["new_traj"]))
             # depth[0] is the [h, w, 1] metric depth estimate for this frame;
             # downstream consumers hook in here (main.py:163-173).
+            if cmd.output_dir:
+                # 16-bit PNG export, depth*256 (the KITTI storage convention
+                # and the legacy exporter's scheme,
+                # .legacy/m4depth_pipeline.py:313-339)
+                import cv2
+
+                os.makedirs(cmd.output_dir, exist_ok=True)
+                d16 = np.clip(np.asarray(depth[0, :, :, 0]) * 256.0,
+                              0, 65535).astype(np.uint16)
+                cv2.imwrite(
+                    os.path.join(cmd.output_dir, f"depth_{i:06d}.png"), d16)
     else:
         parser.print_help()
         return 1

@@ -68,6 +68,9 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--learning_rate", default=1e-4, type=float)
     g.add_argument("--total_steps", default=220000, type=int)
     g.add_argument("--finetune_steps", default=20000, type=int)
+    g.add_argument("--output_dir", default=None, type=str,
+                   help="predict mode: write 16-bit depth PNGs here "
+                        "(depth * 256, KITTI convention)")
     g.add_argument("--out_size", default=None, type=int, nargs=2,
                    metavar=("H", "W"),
                    help="Override the dataset's output size")
