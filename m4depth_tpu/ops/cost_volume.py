@@ -76,21 +76,26 @@ def parallax_sweeping_cv_expanded(
         ((0, 0), (search_range, search_range + 1),
          (search_range, search_range + 1), (0, 0)),
         mode="edge")
-    shifts = [padded[:, dy:dy + h, dx:dx + w, :]
-              for dy in range(d) for dx in range(d)]
-    expanded = jnp.concatenate(shifts, axis=-1)           # [b,h,w,d*d*ch]
+    # hierarchical build: d large y-shift slices, then d x-shift slices of
+    # the y-expanded map — 2d big contiguous copies instead of d^2 small
+    # ones (the flat d^2-way concatenate ran far below HBM bandwidth)
+    exp_y = jnp.concatenate(
+        [padded[:, dy:dy + h, :, :] for dy in range(d)], axis=-1)
+    expanded = jnp.concatenate(
+        [exp_y[:, :, dx:dx + w, :] for dx in range(d)], axis=-1)
+    # channel order is now (dx-major, dy, ch)           # [b,h,w,d*d*ch]
 
     # 2) one contiguous row fetch per pixel
     flat = expanded.reshape(b, h * w, d * d * ch)
     idx = (cy * w + cx).reshape(b, h * w, 1)
     fetched = jnp.take_along_axis(flat, idx, axis=1)
-    patch = fetched.reshape(b, h, w, d, d, ch)            # (dy, dx, chan)
+    patch = fetched.reshape(b, h, w, d, d, ch)            # (dx, dy, chan)
 
     # 3a) per-cut correlation of c1 with every neighborhood position
     c1c = c1.astype(cv_dtype).reshape(b, h, w, 1, 1, num_cuts, cc)
     feat = patch[..., :C].reshape(b, h, w, d, d, num_cuts, cc)
-    corr = (c1c * feat).mean(axis=-1)                     # [b,h,w,dy,dx,cuts]
-    para_patch = patch[..., C]                            # [b,h,w,dy,dx]
+    corr = (c1c * feat).mean(axis=-1)                     # [b,h,w,dx,dy,cuts]
+    para_patch = patch[..., C]                            # [b,h,w,dx,dy]
 
     # 3b) separable bilinear hypothesis weights over the delta grid
     offsets = jnp.arange(-search_range, search_range + 1, dtype=jnp.float32)
@@ -113,14 +118,14 @@ def parallax_sweeping_cv_expanded(
     wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
           + (dgrid == rely[..., None] + 1) * ay[..., None]).astype(cv_dtype)
 
-    # 3c) contract x-weights then y-weights. Written as broadcast multiply +
+    # 3c) contract y-weights then x-weights. Written as broadcast multiply +
     # sum (NOT einsum): with (b,h,w) as batch dims an einsum lowers to
     # per-pixel micro-matmuls, which the TPU executes terribly.
-    #   corr [b,h,w,dy,dx,cut], wx/wy [b,h,w,s,d]
-    t1 = (corr[:, :, :, None] * wx[..., None, :, None]).sum(axis=5)
-    cv = (t1 * wy[..., None]).sum(axis=4)                 # [b,h,w,s,cuts]
-    p1 = (para_patch[:, :, :, None] * wx[..., None, :]).sum(axis=-1)
-    para_w = (p1 * wy).sum(axis=-1)                       # [b,h,w,s]
+    #   corr [b,h,w,dx,dy,cut], wx/wy [b,h,w,s,d]
+    t1 = (corr[:, :, :, None] * wy[..., None, :, None]).sum(axis=5)
+    cv = (t1 * wx[..., None]).sum(axis=4)                 # [b,h,w,s,cuts]
+    p1 = (para_patch[:, :, :, None] * wy[..., None, :]).sum(axis=-1)
+    para_w = (p1 * wx).sum(axis=-1)                       # [b,h,w,s]
 
     # cut-major / hypothesis-minor channel layout (parity with the gather
     # implementation)
