@@ -20,6 +20,16 @@ import jax
 import numpy as np
 
 
+def build_model(cmd, cfg):
+    from m4depth_tpu.models import M4Depth
+
+    if getattr(cmd, "model", "m4depth") == "m4depth-v1":
+        from m4depth_tpu.models.m4depth_v1 import M4DepthV1
+
+        return M4DepthV1(cfg)
+    return M4Depth(cfg)
+
+
 def build_dataset(cmd, usecase: str, db_paths: dict, batch_size: int,
                   records_path=None, db_seq_len="unset"):
     from m4depth_tpu.data import SequenceDataset, get_adapter
@@ -170,7 +180,7 @@ def main(argv=None):
 
         dataset = build_dataset(cmd, "train", db_paths, cmd.batch_size)
         cfg = model_config_from_args(cmd, depth_type=dataset.depth_type)
-        model = M4Depth(cfg)
+        model = build_model(cmd, cfg)
         tcfg = train_config_from_args(cmd)
 
         validation_fn = None
@@ -202,7 +212,7 @@ def main(argv=None):
         weights_subdir = "train" if cmd.mode == "validation" else "best"
         dataset = build_dataset(cmd, "eval", db_paths, 1)
         cfg = model_config_from_args(cmd, depth_type=dataset.depth_type)
-        model = M4Depth(cfg)
+        model = build_model(cmd, cfg)
         params = restore_params_for_eval(cmd, model, init_sample(cmd),
                                          weights_subdir)
         trace = None
@@ -253,7 +263,7 @@ def main(argv=None):
 
         dataset = build_dataset(cmd, "predict", db_paths, 1)
         cfg = model_config_from_args(cmd, depth_type=dataset.depth_type)
-        model = M4Depth(cfg)
+        model = build_model(cmd, cfg)
         params = restore_params_for_eval(cmd, model, init_sample(cmd), "best")
 
         from m4depth_tpu.train.step import make_streaming_eval_step  # noqa

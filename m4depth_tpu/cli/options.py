@@ -60,6 +60,11 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    action="store_true")
     g.add_argument("--no_level_memory", default=False, action="store_true")
     # TPU-native extras
+    g.add_argument("--model", default="m4depth",
+                   choices=["m4depth", "m4depth-v1"],
+                   help="Model family: Sensors-2022 parallax-recurrent "
+                        "(default) or the legacy arXiv-2021 depth-recurrent "
+                        "architecture")
     g.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     g.add_argument("--data_mesh", default=-1, type=int,

@@ -112,6 +112,19 @@ class M4Depth(nn.Module):
             outs.append(pyr)
         return outs
 
+    # -- model contract (parity: the legacy PipelineModel interface,
+    # .legacy/multi_gpu_pipeline/pipeline_model.py:19-121) ---------------
+    def loss(self, gt_depth_seq: jnp.ndarray, preds) -> jnp.ndarray:
+        from m4depth_tpu.losses import m4depth_loss
+
+        return m4depth_loss(gt_depth_seq, preds, self.cfg.depth_type)
+
+    @staticmethod
+    def final_depth(preds, hw) -> jnp.ndarray:
+        """Full-resolution depth of the last frame (nearest upsampling of
+        the finest level, m4depth_network.py:368)."""
+        return resize_nearest(preds[-1][0].depth, hw)
+
     def step(
         self,
         state: ModelState,

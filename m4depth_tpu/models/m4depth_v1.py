@@ -141,7 +141,8 @@ class DecoderLevelV1(nn.Module):
             cv_dtype=jnp.dtype(self.cfg.cv_dtype),
             leaky_slope=self.cfg.leaky_slope)
 
-        rot_map = jnp.broadcast_to(rot.reshape(b, 1, 1, 3), (b, h, w, 3))
+        rc = rot.shape[-1]  # 3 (small angle, legacy) or 4 (quaternion)
+        rot_map = jnp.broadcast_to(rot.reshape(b, 1, 1, rc), (b, h, w, rc))
         trans_map = jnp.broadcast_to(trans.reshape(b, 1, 1, 3), (b, h, w, 3))
         coords, _ = pixel_grid(h, w, camera)
         log_safe = lambda x: jnp.log(jnp.maximum(x, 1e-12))  # noqa: E731
@@ -222,6 +223,15 @@ class M4DepthV1(nn.Module):
         state, pyr = self.forward_frame(
             state, rgb, rot, trans, camera, new_traj=new_traj, first=False)
         return state, resize_nearest(pyr[0], (h, w))
+
+    # -- model contract (see models/m4depth.py) --------------------------
+    def loss(self, gt_depth_seq: jnp.ndarray, preds) -> jnp.ndarray:
+        return m4depth_v1_loss(gt_depth_seq, preds,
+                               single_frame=self.single_frame)
+
+    @staticmethod
+    def final_depth(preds, hw) -> jnp.ndarray:
+        return resize_nearest(preds[-1][0], hw)
 
 
 def m4depth_v1_loss(gt_depth_seq: jnp.ndarray, preds, seq_len: int = None,

@@ -53,15 +53,14 @@ def make_train_step(
         def loss_fn(params):
             preds = model.apply(params, batch["rgb"], batch["rot"],
                                 batch["trans"], camera)
-            loss = m4depth_loss(batch["depth"], preds, model.cfg.depth_type)
-            return loss, preds
+            return model.loss(batch["depth"], preds), preds
 
         (loss, preds), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         new_state = state.apply_gradients(grads=grads)
 
         gt = batch["depth"][:, -1]
-        est = resize_nearest(preds[-1][0].depth, gt.shape[1:3])
+        est = model.final_depth(preds, gt.shape[1:3])
         scalars = {
             "loss": loss,
             "RMSE_log": _rmse_log(gt, est),
@@ -110,7 +109,7 @@ def make_windowed_eval_step(model: M4Depth):
         preds = model.apply(params, batch["rgb"], batch["rot"],
                             batch["trans"], camera)
         gt = batch["depth"][:, -1]
-        est = resize_nearest(preds[-1][0].depth, gt.shape[1:3])
+        est = model.final_depth(preds, gt.shape[1:3])
         gt_c, est_c = clip_for_eval(gt, est)
         return acc.update(compute_metrics(gt_c, est_c))
 
@@ -127,7 +126,7 @@ def make_streaming_eval_step(model: M4Depth):
         new_traj = frame["new_traj"]
         model_state, est = model.apply(
             params, model_state, frame["rgb"], frame["rot"], frame["trans"],
-            camera, new_traj, method=M4Depth.step)
+            camera, new_traj, method=type(model).step)
         gt_c, est_c = clip_for_eval(frame["depth"], est)
         weight = 1.0 - jnp.max(new_traj.astype(jnp.float32))
         acc = acc.update(compute_metrics(gt_c, est_c), weight=weight)

@@ -20,3 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+try:  # persistent compile cache: repeat suite runs skip CPU XLA compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/m4depth_jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass

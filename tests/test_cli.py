@@ -54,6 +54,24 @@ class TestCliEval:
         assert perfs.shape == (7,)
         assert np.all(np.isfinite(perfs))
 
+    def test_eval_v1_model_family(self, fixture_env, tmp_path):
+        root, records, cfg = fixture_env
+        from m4depth_tpu.cli.main import main
+
+        ckpt = str(tmp_path / "ckpt_v1")
+        rc = main([
+            "--mode=eval", "--dataset=midair",
+            f"--db_path_config={cfg}",
+            f"--records_path={records}",
+            f"--ckpt_dir={ckpt}",
+            "--model=m4depth-v1",
+            "--arch_depth=2", "--out_size", "32", "32",
+            "--num_workers=2", "--compute_dtype=float32",
+        ])
+        assert rc == 0
+        perfs = np.loadtxt(os.path.join(ckpt, "perfs-midair.txt"))
+        assert np.all(np.isfinite(perfs))
+
     def test_predict_mode_runs(self, fixture_env, tmp_path):
         root, records, cfg = fixture_env
         from m4depth_tpu.cli.main import main
