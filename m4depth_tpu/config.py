@@ -55,6 +55,9 @@ class ModelConfig:
                                       # per-hypothesis warp (reference formulation)
     sncv_impl: str = "xla"            # "xla": static-slice formulation;
                                       # "pallas": fused VMEM-resident kernel
+    remat: bool = False               # rematerialize decoder levels in the
+                                      # backward pass (trade FLOPs for HBM;
+                                      # large frames / long windows)
 
     @property
     def channels(self) -> Tuple[int, ...]:

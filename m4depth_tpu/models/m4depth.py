@@ -52,9 +52,11 @@ class M4Depth(nn.Module):
     cfg: ModelConfig
 
     def setup(self):
+        level_cls = (nn.remat(DecoderLevel, static_argnums=())
+                     if self.cfg.remat else DecoderLevel)
         self.encoder = Encoder(self.cfg, name="encoder")
         self.levels = [
-            DecoderLevel(self.cfg, level=i + 1, name=f"level_{i + 1}")
+            level_cls(self.cfg, level=i + 1, name=f"level_{i + 1}")
             for i in range(self.cfg.num_levels)
         ]
 

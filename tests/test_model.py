@@ -138,6 +138,37 @@ class TestForward:
             assert np.all(np.isfinite(np.array(preds[1][0].depth)))
 
 
+class TestRemat:
+    def test_remat_matches_plain_forward_and_grads(self):
+        rng = np.random.RandomState(9)
+        rgb, rot, trans, cam = make_inputs(rng, b=1, T=2, h=32, w=32)
+        gt = jnp.asarray(rng.uniform(5, 50, (1, 2, 32, 32, 1)).astype(np.float32))
+
+        models = {}
+        for name, remat in [("plain", False), ("remat", True)]:
+            cfg = tiny_cfg(remat=remat) if False else ModelConfig(
+                num_levels=3, encoder_channels=(8, 12, 16),
+                refiner_prep_channels=(16, 16, 8),
+                refiner_est_channels=(8, 8, 5), remat=remat)
+            model = M4Depth(cfg)
+            params = model.init(jax.random.PRNGKey(0), rgb, rot, trans, cam)
+
+            def loss_fn(p, model=model):
+                preds = model.apply(p, rgb, rot, trans, cam)
+                return m4depth_loss(gt, preds)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            models[name] = (float(loss), grads)
+
+        np.testing.assert_allclose(models["plain"][0], models["remat"][0],
+                                   rtol=1e-5)
+        g1 = jax.tree_util.tree_leaves(models["plain"][1])
+        g2 = jax.tree_util.tree_leaves(models["remat"][1])
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.array(a), np.array(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
 class TestTraining:
     @pytest.mark.slow
     def test_loss_decreases(self):

@@ -29,9 +29,11 @@ except Exception:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--pool", type=int, default=48,
+                   help="pregenerated training batches (cycled)")
     p.add_argument("--levels", type=int, default=4)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--model", default="m4depth",
@@ -54,22 +56,33 @@ def main():
 
     h = w = a.size
     train_ds = SyntheticGeometricDataset(
-        n_batches=10 ** 9, batch_size=a.batch, T=2, h=h, w=w, seed=0)
-    it = train_ds.batches(0)
+        n_batches=a.pool, batch_size=a.batch, T=2, h=h, w=w, seed=0)
 
     def to_jnp(b):
         return {k: jnp.asarray(v) for k, v in b.items() if k != "new_traj"}
 
-    first = to_jnp(next(it))
-    state = create_train_state(model, jax.random.PRNGKey(0), first,
-                               learning_rate=a.lr)
+    print(f"pregenerating {a.pool} batches...", flush=True)
+    pool = [to_jnp(b) for b in train_ds.batches(0)]
+
+    import optax
+    from flax.training.train_state import TrainState
+
+    from m4depth_tpu.train.step import batch_camera
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), pool[0]["rgb"], pool[0]["rot"],
+        pool[0]["trans"], batch_camera(pool[0]))
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, a.lr, warmup_steps=200, decay_steps=a.steps,
+        end_value=a.lr * 0.05)
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=optax.adam(schedule))
     tstep = jax.jit(make_train_step(model), donate_argnums=(0,))
 
     t0 = time.time()
     for step_i in range(a.steps):
-        batch = to_jnp(next(it))
-        state, scal = tstep(state, batch)
-        if step_i % 100 == 0:
+        state, scal = tstep(state, pool[step_i % len(pool)])
+        if step_i % 250 == 0:
             print(f"step {step_i}: loss={float(scal['loss']):.4f} "
                   f"RMSE_log={float(scal['RMSE_log']):.4f}", flush=True)
     print(f"trained {a.steps} steps in {time.time() - t0:.1f}s", flush=True)
