@@ -105,6 +105,9 @@ class TrainConfig:
     lr_schedule: str = "constant"     # "constant" | "staircase" (the legacy
                                       # halving at 60k/120k/180k/240k/300k,
                                       # .legacy/m4depth_pipeline.py:192-196)
+    grad_clip_norm: float = 0.0       # global-norm gradient clip; 0 = off.
+                                      # (The reference had no clipping and
+                                      # documents NaN crashes, README.md:153)
     total_steps: int = 220_000
     finetune_steps: int = 20_000
     seed: int = 42

@@ -1,4 +1,13 @@
 from m4depth_tpu.ops.warp import dense_image_warp
-from m4depth_tpu.ops.cost_volume import parallax_sweeping_cv, spatial_cost_volume
+from m4depth_tpu.ops.cost_volume import (
+    parallax_sweeping_cv,
+    parallax_sweeping_cv_expanded,
+    spatial_cost_volume,
+)
 
-__all__ = ["dense_image_warp", "parallax_sweeping_cv", "spatial_cost_volume"]
+__all__ = [
+    "dense_image_warp",
+    "parallax_sweeping_cv",
+    "parallax_sweeping_cv_expanded",
+    "spatial_cost_volume",
+]

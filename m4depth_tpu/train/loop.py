@@ -110,7 +110,9 @@ def fit(
     logger = MetricLogger(cfg.log_dir)
     state = create_train_state(model, jax.random.PRNGKey(cfg.seed), sample,
                                learning_rate=cfg.learning_rate,
-                               lr_schedule=lr_schedule)
+                               lr_schedule=lr_schedule,
+                               grad_clip_norm=getattr(cfg, "grad_clip_norm",
+                                                      0.0))
 
     ckpt_dir = os.path.join(cfg.ckpt_dir, "train")
     ckpt_mgr = TrainCheckpointManager(ckpt_dir, max_keep=cfg.keep_last_n)

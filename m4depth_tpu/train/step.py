@@ -165,13 +165,17 @@ def create_train_state(
     sample_batch: Batch,
     learning_rate: float = 1e-4,
     lr_schedule: str = "constant",
+    grad_clip_norm: float = 0.0,
 ) -> TrainState:
     """Initialize params (requires T >= 2 in the sample) + Adam optimizer.
 
-    Parity: Adam(1e-4) (main.py:92).
+    Parity: Adam(1e-4) (main.py:92). Optional global-norm gradient clipping
+    (the reference had none and documents NaN crashes, README.md:153).
     """
     params = jax.jit(model.init)(
         rng, sample_batch["rgb"], sample_batch["rot"],
         sample_batch["trans"], batch_camera(sample_batch))
     tx = optax.adam(make_lr_schedule(learning_rate, lr_schedule))
+    if grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)

@@ -75,8 +75,10 @@ def main():
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, a.lr, warmup_steps=200, decay_steps=a.steps,
         end_value=a.lr * 0.05)
-    state = TrainState.create(apply_fn=model.apply, params=params,
-                              tx=optax.adam(schedule))
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=optax.chain(optax.clip_by_global_norm(1.0),
+                       optax.adam(schedule)))
     tstep = jax.jit(make_train_step(model), donate_argnums=(0,))
 
     t0 = time.time()
