@@ -25,36 +25,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _sncv_kernel(c1_ref, c2pad_ref, out_ref, *, search_range, dilation_rate,
-                 num_cuts, cc, th, w, band, leaky_slope):
+def _sncv_kernel(c1_ref, c2pad_ref, out_ref, acc_ref, *, search_range,
+                 dilation_rate, num_cuts, cc, th, w, band, leaky_slope):
     # c1_ref: [1, C, th, w]; c2pad_ref: [1, C, hp, wp] (whole image, hp
     # rounded so the band load below stays in bounds);
-    # out_ref: [1, side^2*cuts, th, w]
+    # out_ref: [1, side^2*cuts, th, w]; acc_ref: VMEM scratch, same block.
+    # Loop order: channels OUTER (each channel's c1 tile and c2 band are
+    # loaded once, then swept over all offsets), offsets inner accumulating
+    # into VMEM — ~side^2 x fewer VMEM loads than the offset-outer order.
     side = 2 * search_range + 1
     i = pl.program_id(1)
     row0 = pl.multiple_of(i * th, 8)  # aligned sublane start
+    C = num_cuts * cc
 
-    for k in range(num_cuts):
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def body(ch, _):
+        a = c1_ref[0, ch].astype(jnp.float32)
+        # aligned dynamic load; the (unaligned) dy/dx shifts are static
+        # slices of the loaded register value
+        bb = c2pad_ref[0, ch, pl.ds(row0, band), :]
+        k = ch // cc
         for dy in range(side):
+            rows = jax.lax.slice(
+                bb, (dy * dilation_rate, 0),
+                (dy * dilation_rate + th, bb.shape[1]))
             for dx in range(side):
+                sh = jax.lax.slice(rows, (0, dx * dilation_rate),
+                                   (th, dx * dilation_rate + w))
+                off = (dy * side + dx) * num_cuts + k
+                acc_ref[0, off] = acc_ref[0, off] + a * sh.astype(jnp.float32)
+        return 0
 
-                def body(c, acc):
-                    ch = k * cc + c
-                    a = c1_ref[0, ch].astype(jnp.float32)
-                    # aligned dynamic load, then static (unaligned) slice of
-                    # the register value — Mosaic cannot prove alignment of a
-                    # row start like row0+dy, so the dy shift happens on the
-                    # loaded band instead
-                    bb = c2pad_ref[0, ch, pl.ds(row0, band), :]
-                    y0, x0 = dy * dilation_rate, dx * dilation_rate
-                    sh = jax.lax.slice(bb, (y0, x0), (y0 + th, x0 + w))
-                    return acc + a * sh.astype(jnp.float32)
+    jax.lax.fori_loop(0, C, body, 0)
 
-                acc = jax.lax.fori_loop(
-                    0, cc, body, jnp.zeros((th, w), jnp.float32))
-                cost = acc * (1.0 / cc)
-                cost = jnp.where(cost > 0, cost, cost * leaky_slope)
-                out_ref[0, (dy * side + dx) * num_cuts + k] = cost
+    for off in range(side * side * num_cuts):
+        cost = acc_ref[0, off] * (1.0 / cc)
+        out_ref[0, off] = jnp.where(cost > 0, cost, cost * leaky_slope)
 
 
 def _sncv_forward(
@@ -94,6 +101,8 @@ def _sncv_forward(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (b, side * side * num_cuts, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((1, side * side * num_cuts, th, w), jnp.float32)],
         interpret=interpret,
     )(c1_t, c2pad_t)
     return out_t.transpose(0, 2, 3, 1)                    # NHWC
