@@ -17,8 +17,7 @@ import optax
 from flax.training.train_state import TrainState
 from jax.sharding import Mesh
 
-from m4depth_tpu.geometry import Camera, resize_nearest
-from m4depth_tpu.losses import m4depth_loss
+from m4depth_tpu.geometry import Camera
 from m4depth_tpu.metrics import MetricAccumulator, clip_for_eval, compute_metrics
 from m4depth_tpu.models import M4Depth, init_state
 from m4depth_tpu.parallel.mesh import batch_sharding, replicated_sharding

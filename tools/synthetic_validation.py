@@ -76,8 +76,46 @@ def main():
     def to_jnp(b):
         return {k: jnp.asarray(v) for k, v in b.items() if k != "new_traj"}
 
-    print(f"pregenerating {a.pool} batches...", flush=True)
-    pool = [to_jnp(b) for b in train_ds.batches(0)]
+    if a.pool > 0:
+        print(f"pregenerating {a.pool} batches...", flush=True)
+        pool = [to_jnp(b) for b in train_ds.batches(0)]
+        get_batch = lambda i: pool[i % len(pool)]  # noqa: E731
+    else:
+        # infinite stream: fresh scenes every step (no memorization), host
+        # rendering overlapped with device steps via a thread pool; each
+        # render owns its RandomState (seeded by batch index)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from m4depth_tpu.data.synthetic import make_sequence
+
+        def render(seed):
+            rng = np.random.RandomState(seed)
+            seqs = [make_sequence(rng, 2, h, w) for _ in range(a.batch)]
+            return to_jnp({
+                "rgb": np.stack([s["RGB_im"] for s in seqs]),
+                "depth": np.stack([s["depth"] for s in seqs]),
+                "rot": np.stack([s["rot"] for s in seqs]),
+                "trans": np.stack([s["trans"] for s in seqs]),
+                "camera_f": np.stack([s["camera_f"] for s in seqs]),
+                "camera_c": np.stack([s["camera_c"] for s in seqs]),
+            })
+
+        ex = ThreadPoolExecutor(max_workers=6)
+        counter = [0]
+        queue = []
+
+        def submit():
+            queue.append(ex.submit(render, counter[0]))
+            counter[0] += 1
+
+        for _ in range(12):
+            submit()
+
+        def get_batch(i):
+            submit()
+            return queue.pop(0).result()
+
+        pool = [get_batch(0)]
 
     import optax
     from flax.training.train_state import TrainState
@@ -98,7 +136,7 @@ def main():
 
     t0 = time.time()
     for step_i in range(a.steps):
-        state, scal = tstep(state, pool[step_i % len(pool)])
+        state, scal = tstep(state, get_batch(step_i))
         if step_i % 250 == 0:
             print(f"step {step_i}: loss={float(scal['loss']):.4f} "
                   f"RMSE_log={float(scal['RMSE_log']):.4f}", flush=True)
