@@ -6,8 +6,11 @@ reference ships a CUDA ``BackProject``/``BackProjectGrad`` op pair
 gather+lerp fallback (utils/dense_image_warp.py:61-192). Here the op is a
 single differentiable jnp gather formulation — XLA lowers the 4-tap gather
 onto the TPU and autodiff produces the scatter-add backward that the CUDA
-kernel implemented by hand with ``atomicAdd``. A fused Pallas variant can be
-slotted behind the same API (see m4depth_tpu/ops/warp_pallas.py).
+kernel implemented by hand with ``atomicAdd``. The performance-critical
+user of this op — the parallax sweep — bypasses it entirely via the
+expanded-shift formulation (ops/cost_volume.py), which is the true
+TPU-native replacement for the CUDA kernel; see DEVELOPMENT.md for the
+measured gather economics that force that design.
 
 Semantics (parity with utils/dense_image_warp.py:195-268):
   output[b, y, x, c] = bilinear_sample(image[b], (x + flow_x, y + flow_y))

@@ -142,6 +142,37 @@ class TestDSCV:
         np.testing.assert_allclose(np.array(pw_exp), np.array(pw_ref),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_expanded_gradients_match_gather(self):
+        """Backward parity: both DSCV formulations must produce the same
+        gradients (training correctness of the fast path)."""
+        import jax
+
+        rng = np.random.RandomState(11)
+        b, h, w, C = 1, 10, 10, 4
+        cam = make_camera(b, f=(8.0, 8.0), c=(5.0, 5.0))
+        rot = jnp.array([[1.0, 0.01, -0.02, 0.0]], jnp.float32)
+        rot = rot / jnp.linalg.norm(rot)
+        trans = jnp.array([[0.3, 0.1, 0.6]], jnp.float32)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(rng.uniform(0.5, 2, (b, h, w, 1)).astype(np.float32))
+        center = jnp.asarray(rng.uniform(0.5, 3, (b, h, w, 1)).astype(np.float32))
+        gcv = jnp.asarray(rng.randn(b, h, w, 9).astype(np.float32))
+        gpw = jnp.asarray(rng.randn(b, h, w, 9).astype(np.float32))
+
+        def loss(fn, c1_, c2_, center_):
+            cv, pw = fn(c1_, c2_, para_t, center_, rot, trans, cam, 4,
+                        num_cuts=1, cv_dtype=jnp.float32)
+            return (cv * gcv).sum() + (pw * gpw).sum()
+
+        g_ref = jax.grad(lambda *a: loss(parallax_sweeping_cv, *a),
+                         argnums=(0, 1, 2))(c1, c2, center)
+        g_exp = jax.grad(lambda *a: loss(parallax_sweeping_cv_expanded, *a),
+                         argnums=(0, 1, 2))(c1, c2, center)
+        for a, b_ in zip(g_ref, g_exp):
+            np.testing.assert_allclose(np.array(b_), np.array(a),
+                                       rtol=1e-3, atol=1e-4)
+
     def test_expanded_gradients_finite(self):
         rng = np.random.RandomState(8)
         b, h, w, C = 1, 8, 8, 4
