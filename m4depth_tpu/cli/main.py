@@ -173,8 +173,6 @@ def main(argv=None):
     cmd, _ = parser.parse_known_args(argv)
     db_paths = dataset_locations(cmd)
 
-    from m4depth_tpu.models import M4Depth
-
     if cmd.mode in ("train", "finetune"):
         from m4depth_tpu.train.loop import fit
 

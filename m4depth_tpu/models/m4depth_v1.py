@@ -39,7 +39,6 @@ from m4depth_tpu.geometry import (
     resize_nearest,
     scale_camera,
 )
-from m4depth_tpu.geometry.resize import resize_bilinear
 from m4depth_tpu.models.decoder import LevelState
 from m4depth_tpu.models.encoder import leaky_relu
 from m4depth_tpu.models.m4depth import ModelState, level_shape
