@@ -41,6 +41,12 @@ def m4depth_loss(
             h, w = pd.shape[1:3]
             weight = 0.64 / (2.0 ** (i - 1))
             if depth_type == "velodyne":
+                if hg % h or wg % w:
+                    raise ValueError(
+                        f"velodyne loss requires the gt resolution "
+                        f"({hg}x{wg}) to be an integer multiple of every "
+                        f"level resolution (got {h}x{w}) — "
+                        f"see m4depth_network.py:516-530")
                 blocks = (b, h, hg // h, w, wg // w, 1)
                 gt_blocks = gt.reshape(blocks)
                 mask = (gt_blocks > 0).astype(jnp.float32)

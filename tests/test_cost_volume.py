@@ -142,6 +142,28 @@ class TestDSCV:
         np.testing.assert_allclose(np.array(pw_exp), np.array(pw_ref),
                                    rtol=1e-4, atol=1e-4)
 
+    def test_expanded_matches_gather_tiny_level(self):
+        """Deepest-pyramid-level shapes (h, w smaller than the shift box)."""
+        rng = np.random.RandomState(12)
+        b, h, w, C = 1, 6, 6, 8
+        cam = make_camera(b, f=(3.0, 3.0), c=(3.0, 3.0))
+        rot = jnp.array([[1.0, 0, 0, 0]], jnp.float32)
+        trans = jnp.array([[0.2, 0.1, 0.4]], jnp.float32)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(rng.uniform(0.5, 20, (b, h, w, 1)).astype(np.float32))
+        center = jnp.asarray(rng.uniform(0.1, 30, (b, h, w, 1)).astype(np.float32))
+        cv_ref, pw_ref = parallax_sweeping_cv(
+            c1, c2, para_t, center, rot, trans, cam, 4, num_cuts=4,
+            cv_dtype=jnp.float32)
+        cv_exp, pw_exp = parallax_sweeping_cv_expanded(
+            c1, c2, para_t, center, rot, trans, cam, 4, num_cuts=4,
+            cv_dtype=jnp.float32)
+        np.testing.assert_allclose(np.array(cv_exp), np.array(cv_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.array(pw_exp), np.array(pw_ref),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_expanded_gradients_match_gather(self):
         """Backward parity: both DSCV formulations must produce the same
         gradients (training correctness of the fast path)."""
