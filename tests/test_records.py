@@ -1,5 +1,7 @@
 """Record store: roundtrip fidelity + window parity with the CSV pipeline."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -7,6 +9,7 @@ from m4depth_tpu.data.records import (
     RecordSequenceDataset,
     RecordStoreWriter,
     RecordTrajectoryReader,
+    convert_csv_dataset,
 )
 
 
@@ -58,6 +61,49 @@ class TestRecordStore:
             assert reader.num_frames(ti) == 6
             out = reader.read_frames(ti, 0, 6)
             assert len(out) == 6
+
+    def test_convert_csv_dataset_end_to_end(self, tmp_path):
+        """CSV manifests -> record store -> batches matches the live
+        pipeline's decoded content."""
+        cv2 = pytest.importorskip("cv2")
+        from m4depth_tpu.data import SequenceDataset, get_adapter
+
+        # build a tiny midair-style fixture
+        db = tmp_path / "db"
+        records = tmp_path / "records"
+        rng = np.random.RandomState(0)
+        os.makedirs(records / "t0", exist_ok=True)
+        os.makedirs(db / "t0", exist_ok=True)
+        lines = ["id\tcamera_l\tdisp\tqw\tqx\tqy\tqz\ttx\tty\ttz"]
+        for i in range(6):
+            img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            cv2.imwrite(str(db / f"t0/c{i}.jpg"), img)
+            depth = rng.uniform(5, 50, (16, 16)).astype(np.float32)
+            cv2.imwrite(str(db / f"t0/d{i}.png"),
+                        (512.0 / depth).astype(np.float16).view(np.uint16))
+            lines.append(f"{i}\tt0/c{i}.jpg\tt0/d{i}.png\t1\t0\t0\t0"
+                         "\t0.05\t0.01\t0.4")
+        (records / "t0" / "traj.csv").write_text("\n".join(lines))
+
+        adapter = get_adapter("midair")
+        n = convert_csv_dataset(adapter, str(db), str(records),
+                                str(tmp_path / "store"), num_shards=2,
+                                num_workers=2, out_size=(16, 16))
+        assert n == 1
+
+        rec_ds = RecordSequenceDataset(
+            str(tmp_path / "store"), usecase="train", db_seq_len=6,
+            seq_len=6, batch_size=1, augment=False, num_workers=1)
+        live_ds = SequenceDataset(
+            get_adapter("midair"), str(db), str(records), usecase="train",
+            db_seq_len=6, seq_len=6, batch_size=1, augment=False,
+            out_size=(16, 16), num_workers=1)
+        rb = next(rec_ds.batches(0))
+        lb = next(live_ds.batches(0))
+        np.testing.assert_allclose(rb["rgb"], lb["rgb"], atol=1 / 255.0 + 1e-6)
+        np.testing.assert_allclose(rb["depth"], lb["depth"], rtol=2e-3)
+        np.testing.assert_allclose(rb["rot"], lb["rot"])
+        np.testing.assert_allclose(rb["camera_f"], lb["camera_f"])
 
     def test_windowed_dataset(self, tmp_path):
         rng = np.random.RandomState(2)
