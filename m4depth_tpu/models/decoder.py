@@ -239,8 +239,10 @@ class DecoderLevel(nn.Module):
                 parallax=jnp.where(mask, rst.parallax, est.parallax),
                 other=jnp.where(mask, rst.other, est.other),
             )
+            # rst_state.f_maps == new_state.f_maps == curr_f: the feature
+            # memory needs no masking, only the depth memory does
             new_state = LevelState(
-                f_maps=jnp.where(mask, rst_state.f_maps, new_state.f_maps),
+                f_maps=new_state.f_maps,
                 depth=jnp.where(mask, rst_state.depth, new_state.depth),
             )
         return est, new_state
