@@ -264,7 +264,6 @@ def main(argv=None):
         model = build_model(cmd, cfg)
         params = restore_params_for_eval(cmd, model, init_sample(cmd), "best")
 
-        from m4depth_tpu.train.step import make_streaming_eval_step  # noqa
 
         @jax.jit
         def step(params, state, rgb, rot, trans, f, c, new_traj):

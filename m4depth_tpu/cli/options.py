@@ -12,7 +12,6 @@ import os
 
 from m4depth_tpu.config import (
     AblationFlags,
-    DataConfig,
     ModelConfig,
     TrainConfig,
     load_dataset_locations,

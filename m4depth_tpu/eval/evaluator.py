@@ -13,7 +13,7 @@ written to ``perfs-<dataset>.txt`` (main.py:147-148).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

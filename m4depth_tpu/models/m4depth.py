@@ -9,8 +9,7 @@ and O(1)-memory streaming inference (``step``).
 
 from __future__ import annotations
 
-import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -41,7 +41,7 @@ from m4depth_tpu.geometry import (
 )
 from m4depth_tpu.models.decoder import LevelState
 from m4depth_tpu.models.encoder import leaky_relu
-from m4depth_tpu.models.m4depth import ModelState, level_shape
+from m4depth_tpu.models.m4depth import ModelState
 from m4depth_tpu.ops.cost_volume import spatial_cost_volume
 from m4depth_tpu.ops.warp import dense_image_warp
 

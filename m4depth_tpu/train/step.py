@@ -9,7 +9,7 @@ the legacy NCCL towers, .legacy/multi_gpu_pipeline/feedforward_pipeline.py).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +19,7 @@ from jax.sharding import Mesh
 
 from m4depth_tpu.geometry import Camera
 from m4depth_tpu.metrics import MetricAccumulator, clip_for_eval, compute_metrics
-from m4depth_tpu.models import M4Depth, init_state
+from m4depth_tpu.models import M4Depth
 from m4depth_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
 # Training batch pytree:

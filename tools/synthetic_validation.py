@@ -59,7 +59,7 @@ def main():
     from m4depth_tpu.data.synthetic import SyntheticGeometricDataset
     from m4depth_tpu.metrics import clip_for_eval, compute_metrics
     from m4depth_tpu.models import M4Depth
-    from m4depth_tpu.train import create_train_state, make_train_step
+    from m4depth_tpu.train import make_train_step
 
     cfg = ModelConfig(num_levels=a.levels, compute_dtype="bfloat16")
     if a.model == "m4depth-v1":
