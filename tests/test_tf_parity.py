@@ -1,0 +1,450 @@
+"""Golden-parity tests against the actual TensorFlow reference.
+
+Every op/model comparison here computes its expected value by *running the
+reference source* (/root/reference, imported read-only on TF-CPU via
+``m4depth_tpu.interop.tf_ref``) — not a re-derivation. This is the proof
+behind the "parity" claims in the package docstrings (SURVEY.md §7 ranks
+silent convention drift as hard-part #1).
+
+Tolerances: the reference computes DSCV correlations in hardcoded float16
+(utils/depth_operations.py:276-278), so comparisons downstream of a cost
+volume carry an ~1e-3 fp16 quantization floor; pure-fp32 ops match to 1e-5.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from m4depth_tpu.interop.tf_ref import load_reference, reference_available
+
+pytestmark = [
+    pytest.mark.tf_parity,
+    pytest.mark.skipif(not reference_available(),
+                       reason="TF reference checkout not available"),
+]
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return load_reference()
+
+
+def rng(seed=0):
+    return np.random.RandomState(seed)
+
+
+def random_motion(b, seed=0):
+    r = rng(seed)
+    axis = r.randn(b, 3)
+    axis /= np.linalg.norm(axis, axis=1, keepdims=True)
+    ang = r.uniform(-0.05, 0.05, (b, 1))
+    quat = np.concatenate(
+        [np.cos(ang / 2), np.sin(ang / 2) * axis], axis=1).astype(np.float32)
+    trans = np.concatenate(
+        [r.uniform(-0.2, 0.2, (b, 2)), r.uniform(0.2, 0.8, (b, 1))],
+        axis=1).astype(np.float32)
+    return quat, trans
+
+
+def make_cameras(b, h, w):
+    """(our Camera, reference camera dict) with matched intrinsics."""
+    from m4depth_tpu.geometry import Camera
+
+    f = np.tile(np.array([[w * 0.6, h * 0.6]], np.float32), (b, 1))
+    c = np.tile(np.array([[w * 0.5, h * 0.5]], np.float32), (b, 1))
+    return Camera(f=f, c=c), {"f": f, "c": c}
+
+
+# ---------------------------------------------------------------- geometry
+
+
+def test_rot_mat_quaternion(ref):
+    from m4depth_tpu.geometry import rot_mat
+
+    quat, _ = random_motion(4, seed=1)
+    expected = ref.depth_ops.get_rot_mat(ref.tf.constant(quat)).numpy()
+    np.testing.assert_allclose(np.asarray(rot_mat(quat)), expected,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_rot_mat_small_angle(ref):
+    from m4depth_tpu.geometry import rot_mat
+
+    vec = rng(2).uniform(-0.05, 0.05, (3, 3)).astype(np.float32)
+    expected = ref.depth_ops.get_rot_mat(ref.tf.constant(vec)).numpy()
+    np.testing.assert_allclose(np.asarray(rot_mat(vec)), expected,
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("src,dst", [
+    ((4, 6), (8, 12)),    # exact x2 (the decoder's upsampling case)
+    ((5, 7), (11, 13)),   # non-integer ratios
+    ((12, 16), (5, 9)),   # downsampling
+    ((1, 1), (2, 2)),     # deepest-level degenerate case
+])
+def test_resize_bilinear_v1(ref, src, dst):
+    from m4depth_tpu.geometry import resize_bilinear_v1
+
+    x = rng(3).rand(2, *src, 5).astype(np.float32)
+    expected = ref.tf.compat.v1.image.resize_bilinear(
+        ref.tf.constant(x), dst).numpy()
+    np.testing.assert_allclose(np.asarray(resize_bilinear_v1(x, dst)),
+                               expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("src,dst", [((6, 8), (13, 9)), ((7, 5), (3, 10))])
+def test_resize_bilinear_modern(ref, src, dst):
+    from m4depth_tpu.geometry.resize import resize_bilinear
+
+    x = rng(4).rand(2, *src, 3).astype(np.float32)
+    expected = ref.tf.image.resize(ref.tf.constant(x), dst).numpy()
+    np.testing.assert_allclose(np.asarray(resize_bilinear(x, dst)),
+                               expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("src,dst", [((3, 3), (64, 48)), ((9, 7), (4, 5))])
+def test_resize_nearest(ref, src, dst):
+    from m4depth_tpu.geometry import resize_nearest
+
+    x = rng(5).rand(1, *src, 2).astype(np.float32)
+    expected = ref.tf.image.resize(
+        ref.tf.constant(x), dst,
+        method=ref.tf.image.ResizeMethod.NEAREST_NEIGHBOR).numpy()
+    np.testing.assert_array_equal(np.asarray(resize_nearest(x, dst)), expected)
+
+
+def test_dense_image_warp(ref):
+    """Flow convention: ours is (dx, dy); the reference's vendored warp adds a
+    (dy, dx) flow to the index grid (utils/dense_image_warp.py:238-244)."""
+    from m4depth_tpu.ops.warp import dense_image_warp
+
+    r = rng(6)
+    img = r.rand(2, 9, 12, 4).astype(np.float32)
+    # flows deliberately exceeding the borders to exercise the clamp
+    flow = r.uniform(-4, 4, (2, 9, 12, 2)).astype(np.float32)
+    expected = ref.warp.dense_image_warp(
+        ref.tf.constant(img), ref.tf.constant(flow[..., ::-1])).numpy()
+    np.testing.assert_allclose(np.asarray(dense_image_warp(img, flow)),
+                               expected, rtol=1e-5, atol=1e-6)
+
+
+def test_depth_parallax_roundtrip_ops(ref):
+    from m4depth_tpu.geometry import (
+        depth_to_parallax,
+        parallax_to_depth,
+        prev_depth_to_parallax,
+        recompute_depth,
+    )
+
+    b, h, w = 2, 10, 14
+    cam, cam_tf = make_cameras(b, h, w)
+    quat, trans = random_motion(b, seed=7)
+    depth = rng(8).uniform(2.0, 60.0, (b, h, w, 1)).astype(np.float32)
+
+    tq, tt = ref.tf.constant(quat), ref.tf.constant(trans)
+    exp_para = ref.depth_ops.depth2parallax(
+        ref.tf.constant(depth), tq, tt, cam_tf).numpy()
+    got_para = np.asarray(depth_to_parallax(depth, quat, trans, cam))
+    np.testing.assert_allclose(got_para, exp_para, rtol=1e-4, atol=1e-6)
+
+    exp_depth = ref.depth_ops.parallax2depth(
+        ref.tf.constant(exp_para), tq, tt, cam_tf).numpy()
+    got_depth = np.asarray(parallax_to_depth(exp_para, quat, trans, cam))
+    np.testing.assert_allclose(got_depth, exp_depth, rtol=1e-4, atol=1e-4)
+
+    exp_prev = ref.depth_ops.prev_d2para(
+        ref.tf.constant(depth), tq, tt, cam_tf).numpy()
+    got_prev = np.asarray(prev_depth_to_parallax(depth, quat, trans, cam))
+    np.testing.assert_allclose(got_prev, exp_prev, rtol=1e-4, atol=1e-6)
+
+    exp_rec = ref.depth_ops.recompute_depth(
+        ref.tf.constant(depth), tq, tt, cam_tf).numpy()
+    got_rec = np.asarray(recompute_depth(depth, quat, trans, cam))
+    np.testing.assert_allclose(got_rec, exp_rec, rtol=1e-5, atol=1e-5)
+
+
+def test_reproject(ref):
+    from m4depth_tpu.geometry import reproject
+
+    b, h, w = 2, 12, 16
+    cam, cam_tf = make_cameras(b, h, w)
+    quat, trans = random_motion(b, seed=9)
+    depth = rng(10).uniform(3.0, 40.0, (b, h, w, 1)).astype(np.float32)
+    fmap = rng(11).rand(b, h, w, 6).astype(np.float32)
+
+    expected, _ = ref.depth_ops.reproject(
+        ref.tf.constant(fmap), ref.tf.constant(depth), ref.tf.constant(quat),
+        ref.tf.constant(trans), cam_tf)
+    got, _ = reproject(fmap, depth, quat, trans, cam)
+    np.testing.assert_allclose(np.asarray(got), expected.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------ cost volumes
+
+
+def _dscv_inputs(b=2, h=10, w=12, C=8, seed=12):
+    r = rng(seed)
+    # unit-normalized feature cuts, as the model feeds them
+    c1 = r.randn(b, h, w, C).astype(np.float32)
+    c2 = r.randn(b, h, w, C).astype(np.float32)
+    para_prev_t = r.uniform(0.1, 3.0, (b, h, w, 1)).astype(np.float32)
+    para_center = r.uniform(0.5, 4.0, (b, h, w, 1)).astype(np.float32)
+    quat, trans = random_motion(b, seed=seed + 1)
+    return c1, c2, para_prev_t, para_center, quat, trans
+
+
+@pytest.mark.parametrize("impl,cv_dtype,tol", [
+    ("gather", "float16", 2e-3),    # fp16 matches the reference's hardcoded cast
+    ("expanded", "float32", 3e-3),  # fp32 vs the reference's fp16 floor
+])
+def test_dscv_vs_reference(ref, impl, cv_dtype, tol):
+    import jax.numpy as jnp
+
+    from m4depth_tpu.ops.cost_volume import (
+        parallax_sweeping_cv,
+        parallax_sweeping_cv_expanded,
+    )
+
+    b, h, w, C = 2, 10, 12, 8
+    cuts = 2
+    c1, c2, ppt, center, quat, trans = _dscv_inputs(b, h, w, C)
+    cam, cam_tf = make_cameras(b, h, w)
+
+    exp_cv, exp_prev = ref.depth_ops.get_parallax_sweeping_cv(
+        ref.tf.constant(c1), ref.tf.constant(c2), ref.tf.constant(ppt),
+        ref.tf.constant(center), ref.tf.constant(quat),
+        ref.tf.constant(trans), cam_tf, 4, nbre_cuts=cuts)
+    fn = (parallax_sweeping_cv_expanded if impl == "expanded"
+          else parallax_sweeping_cv)
+    got_cv, got_prev = fn(c1, c2, ppt, center, quat, trans, cam, 4,
+                          num_cuts=cuts, cv_dtype=jnp.dtype(cv_dtype))
+    np.testing.assert_allclose(np.asarray(got_cv), exp_cv.numpy(),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(got_prev), exp_prev.numpy(),
+                               rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("cuts", [1, 2])
+def test_sncv_vs_reference(ref, cuts):
+    import jax.numpy as jnp
+
+    from m4depth_tpu.ops.cost_volume import spatial_cost_volume
+
+    r = rng(14)
+    c = r.randn(2, 9, 11, 8).astype(np.float32)
+    expected = ref.depth_ops.cost_volume(
+        ref.tf.constant(c), ref.tf.constant(c), 3, nbre_cuts=cuts).numpy()
+    got = spatial_cost_volume(c, c, 3, num_cuts=cuts,
+                              cv_dtype=jnp.dtype("float32"))
+    np.testing.assert_allclose(np.asarray(got), expected,
+                               rtol=1e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------ loss/metrics
+
+
+def _pyramid_preds(b, T, shapes, seed):
+    r = rng(seed)
+    return [
+        [r.uniform(0.5, 90.0, (b, h, w, 1)).astype(np.float32)
+         for (h, w) in shapes]
+        for _ in range(T)
+    ]
+
+
+@pytest.mark.parametrize("depth_type", ["map", "velodyne"])
+def test_loss_vs_reference(ref, depth_type):
+    from m4depth_tpu.losses import m4depth_loss
+    from m4depth_tpu.models.decoder import LevelEstimate
+
+    b, T, H, W = 2, 3, 32, 32
+    shapes = [(16, 16), (8, 8), (4, 4)]
+    r = rng(15)
+    gt = r.uniform(0.5, 120.0, (b, T, H, W, 1)).astype(np.float32)
+    if depth_type == "velodyne":
+        gt = gt * (r.rand(b, T, H, W, 1) > 0.7)  # sparse: ~70% holes
+    preds = _pyramid_preds(b, T, shapes, seed=16)
+
+    ref_model = ref.network.M4Depth(depth_type=depth_type, nbre_levels=3)
+    gts_ref = [{"depth": ref.tf.constant(gt[:, t])} for t in range(T)]
+    preds_ref = [
+        [{"depth": ref.tf.constant(d)} for d in frame] for frame in preds
+    ]
+    expected = float(ref_model.m4depth_loss(gts_ref, preds_ref).numpy())
+
+    preds_ours = [
+        [LevelEstimate(depth=d, parallax=d, other=d) for d in frame]
+        for frame in preds
+    ]
+    got = float(m4depth_loss(gt, preds_ours, depth_type))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_metrics_vs_reference(ref):
+    from m4depth_tpu.metrics import MetricAccumulator, compute_metrics
+
+    ref_metrics = [
+        ref.metrics.AbsRelError(),
+        ref.metrics.SqRelError(),
+        ref.metrics.RootMeanSquaredError(),
+        ref.metrics.RootMeanSquaredLogError(),
+        ref.metrics.ThresholdRelError(1),
+        ref.metrics.ThresholdRelError(2),
+        ref.metrics.ThresholdRelError(3),
+    ]
+    names = ("AbsRel", "SqRel", "RMSE", "RMSE_log", "Delta1", "Delta2",
+             "Delta3")
+    acc = MetricAccumulator.zeros()
+    r = rng(17)
+    for step in range(3):
+        gt = r.uniform(0.0, 80.0, (1, 8, 10, 1)).astype(np.float32)
+        gt *= (r.rand(*gt.shape) > 0.3)  # masked-out pixels
+        est = np.clip(gt + r.randn(*gt.shape), 0.001, 80.0).astype(np.float32)
+        for m in ref_metrics:
+            m.update_state(ref.tf.constant(gt), ref.tf.constant(est))
+        acc = acc.update(compute_metrics(gt, est))
+    got = {k: float(v) for k, v in acc.result().items()}
+    for name, m in zip(names, ref_metrics):
+        np.testing.assert_allclose(got[name], float(m.result().numpy()),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"metric {name}")
+
+
+# ------------------------------------------------------- model-level parity
+
+
+def _ref_train_model(ref, num_levels, depth_type="map"):
+    return ref.network.M4Depth(
+        depth_type=depth_type, nbre_levels=num_levels, is_training=True)
+
+
+def _traj_inputs(b, T, h, w, seed=20):
+    r = rng(seed)
+    rgb = r.rand(b, T, h, w, 3).astype(np.float32)
+    quats, transs = [], []
+    for t in range(T):
+        q, tr = random_motion(b, seed=seed + 10 * t)
+        quats.append(q)
+        transs.append(tr)
+    rot = np.stack(quats, axis=1)
+    trans = np.stack(transs, axis=1)
+    return rgb, rot, trans
+
+
+def _run_reference_window(ref, model, rgb, rot, trans, cam_tf):
+    from m4depth_tpu.interop.ref_driver import run_reference_window
+
+    return run_reference_window(ref, model, rgb, rot, trans, cam_tf)
+
+
+@pytest.fixture(scope="module")
+def ported_setup(ref):
+    """Reference train-mode model (3 levels), ported params, and our model."""
+    from m4depth_tpu.config import ModelConfig
+    from m4depth_tpu.interop.weight_port import port_reference_model
+    from m4depth_tpu.models import M4Depth
+
+    b, T, h, w = 2, 3, 32, 40
+    rgb, rot, trans = _traj_inputs(b, T, h, w)
+    cam, cam_tf = make_cameras(b, h, w)
+
+    ref_model = _ref_train_model(ref, num_levels=3)
+    ref_out = _run_reference_window(ref, ref_model, rgb, rot, trans, cam_tf)
+
+    params = port_reference_model(ref_model)
+    cfg = ModelConfig(num_levels=3, compute_dtype="float32",
+                      cv_dtype="float16", dscv_impl="gather")
+    model = M4Depth(cfg)
+    return dict(ref_model=ref_model, ref_out=ref_out, params=params,
+                model=model, rgb=rgb, rot=rot, trans=trans, cam=cam, cfg=cfg,
+                hw=(h, w))
+
+
+def test_encoder_parity(ref, ported_setup):
+    """Feature pyramid (incl. DINL) with ported weights matches the
+    reference encoder that produced them."""
+    s = ported_setup
+    from m4depth_tpu.models.encoder import Encoder
+
+    enc = Encoder(s["cfg"])
+    feats = enc.apply(
+        {"params": s["params"]["params"]["encoder"]}, s["rgb"][:, 0])
+    ref_feats = [f.numpy() for f in s["ref_model"].encoder(s["rgb"][:, 0])]
+    assert len(feats) == len(ref_feats)
+    for lvl, (ours, theirs) in enumerate(zip(feats, ref_feats)):
+        np.testing.assert_allclose(np.asarray(ours), theirs,
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"encoder level {lvl}")
+
+
+def test_full_model_train_window_parity(ref, ported_setup):
+    """Forward parity of the whole recurrent pyramid over a 3-frame window."""
+    s = ported_setup
+    from m4depth_tpu.geometry import Camera
+
+    preds = s["model"].apply(
+        s["params"], s["rgb"], s["rot"], s["trans"],
+        Camera(f=s["cam"].f, c=s["cam"].c))
+
+    ref_out = s["ref_out"]  # list per frame of list finest-first of dicts
+    for t in range(len(ref_out)):
+        for lvl in range(len(ref_out[t])):
+            exp_depth = ref_out[t][lvl]["depth"].numpy()
+            got_depth = np.asarray(preds[t][lvl].depth)
+            np.testing.assert_allclose(
+                got_depth, exp_depth, rtol=2e-2, atol=2e-2,
+                err_msg=f"depth mismatch at frame {t} level {lvl}")
+            # relative agreement must be tight despite the fp16 CV floor
+            rel = np.abs(got_depth - exp_depth) / (np.abs(exp_depth) + 1e-6)
+            assert np.median(rel) < 2e-3, (
+                f"median rel err {np.median(rel):.2e} at frame {t} lvl {lvl}")
+
+
+def test_streaming_eval_parity(ref, ported_setup):
+    """Our streaming ``step`` must match the reference's stateful-variable
+    eval path (m4depth_network.py:153-214), including a mid-stream reset."""
+    s = ported_setup
+    import jax
+
+    from m4depth_tpu.geometry import Camera
+    from m4depth_tpu.models import M4Depth as Ours, init_state
+
+    h, w = s["hw"]
+    b, T = 1, 4
+    rgb, rot, trans = _traj_inputs(b, T, h, w, seed=33)
+    new_traj = [True, False, True, False]  # trajectory break at frame 2
+    cam, cam_tf = make_cameras(b, h, w)
+
+    from m4depth_tpu.interop.ref_driver import final_depth as ref_final
+    from m4depth_tpu.interop.ref_driver import run_reference_window
+
+    ref_model = ref.network.M4Depth(nbre_levels=3, is_training=False)
+    ref_depths = []
+    for t in range(T):
+        # frame-at-a-time: temporal state lives in the reference's level
+        # variables (m4depth_network.py:153-214)
+        pyr = run_reference_window(
+            ref, ref_model, rgb[:, t:t + 1], rot[:, t:t + 1],
+            trans[:, t:t + 1], cam_tf, new_traj=[new_traj[t]])
+        ref_depths.append(ref_final(ref, pyr[0], (h, w)))
+    # port the eval-built weights (same layer structure)
+    from m4depth_tpu.interop.weight_port import port_reference_model
+
+    params = port_reference_model(ref_model)
+
+    model = Ours(s["cfg"])
+    state = init_state(s["cfg"], b, h, w)
+    step = jax.jit(
+        lambda p, st, *args: model.apply(p, st, *args, method=Ours.step))
+    for t in range(T):
+        state, depth = step(params, state, rgb[:, t], rot[:, t], trans[:, t],
+                            Camera(f=cam.f, c=cam.c),
+                            np.array([new_traj[t]]))
+        got = np.asarray(depth)
+        np.testing.assert_allclose(
+            got, ref_depths[t], rtol=2e-2, atol=2e-2,
+            err_msg=f"streaming depth mismatch at frame {t}")
+        rel = np.abs(got - ref_depths[t]) / (np.abs(ref_depths[t]) + 1e-6)
+        assert np.median(rel) < 2e-3, f"frame {t}: median rel {np.median(rel)}"
