@@ -50,18 +50,37 @@ def build_dataset(cmd, usecase: str, db_paths: dict, batch_size: int,
     )
 
 
-def make_subprocess_validation_fn(cmd):
+class SubprocessValidator:
     """Background-process validation, the reference's scheme
-    (callbacks.py:142-170): spawn ``--mode=validation`` detached after each
-    epoch. The child runs on CPU (JAX_PLATFORMS=cpu) so it never contends
-    with the training chip — the TPU analog of the reference capping the
-    validation process to 1200 MB of GPU memory (main.py:54-57)."""
-    import subprocess
+    (callbacks.py:142-170): spawn ``--mode=validation`` after each epoch.
 
-    def validation_fn(params):
-        del params  # the child restores the latest checkpoint itself
-        env = dict(os.environ, JAX_PLATFORMS="cpu")
-        args = [
+    Improvements over the reference's unconditional detached ``Popen``:
+      * at most ONE child in flight — if the previous epoch's validation is
+        still running, this epoch is skipped (the reference piles up
+        processes when validation is slower than an epoch);
+      * children are reaped (polled each call, waited on close) — no
+        zombies;
+      * the evaluated subset is boundable (``--validation_max_batches``) so
+        the CPU-pinned child finishes within an epoch at real scale.
+
+    The child defaults to CPU (JAX_PLATFORMS) so it never contends with the
+    training chip — the TPU analog of the reference capping the validation
+    process to 1200 MB of GPU memory (main.py:54-57).
+    """
+
+    def __init__(self, cmd, args=None, env=None):
+        import subprocess
+
+        self._subprocess = subprocess
+        self._child = None
+        self.spawned = 0
+        self.skipped = 0
+        if args is not None:
+            self.args, self.env = args, env or dict(os.environ)
+            return
+        self.env = dict(os.environ,
+                        JAX_PLATFORMS=getattr(cmd, "validation_device", "cpu"))
+        self.args = [
             sys.executable, "-m", "m4depth_tpu.cli.main",
             "--mode=validation", "--dataset=kitti-raw",
             f"--db_path_config={cmd.db_path_config}",
@@ -72,12 +91,38 @@ def make_subprocess_validation_fn(cmd):
             "--seq_len=4", "--db_seq_len=4",
             f"--arch_depth={cmd.arch_depth}",
             f"--keep_top_n={cmd.keep_top_n}",
+            f"--validation_max_batches="
+            f"{getattr(cmd, 'validation_max_batches', 0)}",
         ]
-        subprocess.Popen(args, env=env, stdout=subprocess.DEVNULL,
-                         stderr=subprocess.DEVNULL)
+
+    @property
+    def busy(self) -> bool:
+        if self._child is None:
+            return False
+        if self._child.poll() is None:
+            return True
+        self._child.wait()  # reap
+        self._child = None
+        return False
+
+    def __call__(self, params):
+        del params  # the child restores the latest checkpoint itself
+        if self.busy:
+            self.skipped += 1
+            print("validation subprocess still running; skipping this epoch",
+                  flush=True)
+            return None
+        self._child = self._subprocess.Popen(
+            self.args, env=self.env,
+            stdout=self._subprocess.DEVNULL, stderr=self._subprocess.DEVNULL)
+        self.spawned += 1
         return None  # perfs land in the ledger asynchronously
 
-    return validation_fn
+    def close(self):
+        """Wait for and reap any in-flight child."""
+        if self._child is not None:
+            self._child.wait()
+            self._child = None
 
 
 def make_validation_fn(cmd, model, db_paths):
@@ -184,7 +229,7 @@ def main(argv=None):
         validation_fn = None
         if cmd.enable_validation:
             if cmd.validation_mode == "subprocess":
-                validation_fn = make_subprocess_validation_fn(cmd)
+                validation_fn = SubprocessValidator(cmd)
             else:
                 validation_fn = make_validation_fn(cmd, model, db_paths)
 
@@ -219,8 +264,10 @@ def main(argv=None):
 
             # parity: profile_batch='10, 25' (main.py:122)
             trace = TraceWindow(cmd.log_dir, 10, 25)
+        max_steps = (getattr(cmd, "validation_max_batches", 0)
+                     if cmd.mode == "validation" else 0)
         metrics = evaluate(model, params, dataset, progress_every=500,
-                           trace=trace)
+                           trace=trace, max_steps=max_steps)
         print({k: round(v, 4) for k, v in metrics.items()})
 
         if cmd.mode == "validation":

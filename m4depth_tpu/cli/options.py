@@ -66,6 +66,29 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "architecture")
     g.add_argument("--compute_dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    g.add_argument("--cv_dtype", default="bfloat16",
+                   choices=["float32", "bfloat16", "float16"],
+                   help="Cost-volume correlation dtype (the reference "
+                        "hardcoded fp16, depth_operations.py:276-278)")
+    g.add_argument("--dscv_impl", default="expanded",
+                   choices=["expanded", "gather"],
+                   help="DSCV formulation: channel-expanded static shifts "
+                        "(TPU-fast) or direct per-hypothesis warp")
+    g.add_argument("--sncv_impl", default="xla", choices=["xla", "pallas"],
+                   help="SNCV kernel: XLA static slices or fused Pallas")
+    g.add_argument("--remat", default=False, action="store_true",
+                   help="Rematerialize decoder levels in the backward pass "
+                        "(trades FLOPs for HBM)")
+    g.add_argument("--grad_clip_norm", default=0.0, type=float,
+                   help="Global-norm gradient clip; 0 disables. The "
+                        "reference had none and documents NaN crashes "
+                        "(README.md:153)")
+    g.add_argument("--lr_schedule", default="constant",
+                   choices=["constant", "staircase"],
+                   help="constant (main.py:92) or the legacy halving at "
+                        "60k/120k/180k/240k/300k steps")
+    g.add_argument("--seed", default=42, type=int,
+                   help="Init/shuffle seed (main.py:76 uses 42)")
     g.add_argument("--data_mesh", default=-1, type=int,
                    help="Devices on the data-parallel mesh axis (-1 = all)")
     g.add_argument("--num_workers", default=8, type=int)
@@ -83,6 +106,12 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="Run per-epoch validation inline (sync) or as a "
                         "background process (the reference's scheme, "
                         "callbacks.py:142-170)")
+    g.add_argument("--validation_device", default="cpu",
+                   help="JAX_PLATFORMS for the validation subprocess")
+    g.add_argument("--validation_max_batches", default=0, type=int,
+                   help="Bound the validation subset size (0 = full set); "
+                        "keeps a CPU-pinned validation child within an "
+                        "epoch at real scale")
     return parser
 
 
@@ -103,12 +132,19 @@ def model_config_from_args(cmd, depth_type: str = "map") -> ModelConfig:
         ablation=ablation_from_args(cmd),
         depth_type=depth_type,
         compute_dtype=cmd.compute_dtype,
+        cv_dtype=getattr(cmd, "cv_dtype", "bfloat16"),
+        dscv_impl=getattr(cmd, "dscv_impl", "expanded"),
+        sncv_impl=getattr(cmd, "sncv_impl", "xla"),
+        remat=getattr(cmd, "remat", False),
     )
 
 
 def train_config_from_args(cmd) -> TrainConfig:
     return TrainConfig(
         learning_rate=cmd.learning_rate,
+        lr_schedule=getattr(cmd, "lr_schedule", "constant"),
+        grad_clip_norm=getattr(cmd, "grad_clip_norm", 0.0),
+        seed=getattr(cmd, "seed", 42),
         total_steps=cmd.total_steps,
         finetune_steps=cmd.finetune_steps,
         ckpt_dir=cmd.ckpt_dir,

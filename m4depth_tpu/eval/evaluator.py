@@ -30,8 +30,11 @@ from m4depth_tpu.train.step import (
 
 def evaluate_streaming(model: M4Depth, params, dataset: SequenceDataset,
                        progress_every: int = 0,
-                       trace=None) -> Dict[str, float]:
-    """Frame-at-a-time evaluation with O(1) device memory."""
+                       trace=None, max_steps: int = 0) -> Dict[str, float]:
+    """Frame-at-a-time evaluation with O(1) device memory.
+
+    ``max_steps`` > 0 bounds the number of frames scored (validation-time
+    subset; 0 = the full set, the reference's only mode)."""
     step = jax.jit(make_streaming_eval_step(model))
     acc = MetricAccumulator.zeros()
     model_state = None
@@ -47,6 +50,8 @@ def evaluate_streaming(model: M4Depth, params, dataset: SequenceDataset,
         n += 1
         if progress_every and n % progress_every == 0:
             print(f"  eval frame {n}", flush=True)
+        if max_steps and n >= max_steps:
+            break
     if trace is not None:
         trace.close()
     return {k: float(v) for k, v in acc.result().items()}
@@ -54,7 +59,7 @@ def evaluate_streaming(model: M4Depth, params, dataset: SequenceDataset,
 
 def evaluate_windowed(model: M4Depth, params, dataset: SequenceDataset,
                       progress_every: int = 0,
-                      trace=None) -> Dict[str, float]:
+                      trace=None, max_steps: int = 0) -> Dict[str, float]:
     """Fixed-window evaluation scoring the last frame of each window."""
     step = jax.jit(make_windowed_eval_step(model))
     acc = MetricAccumulator.zeros()
@@ -67,13 +72,16 @@ def evaluate_windowed(model: M4Depth, params, dataset: SequenceDataset,
         n += 1
         if progress_every and n % progress_every == 0:
             print(f"  eval window {n}", flush=True)
+        if max_steps and n >= max_steps:
+            break
     if trace is not None:
         trace.close()
     return {k: float(v) for k, v in acc.result().items()}
 
 
 def evaluate(model: M4Depth, params, dataset: SequenceDataset,
-             progress_every: int = 0, trace=None) -> Dict[str, float]:
+             progress_every: int = 0, trace=None,
+             max_steps: int = 0) -> Dict[str, float]:
     """Dispatch on the dataset protocol (windowed iff db_seq_len set).
 
     ``trace``: optional ``utils.profiling.TraceWindow`` — the reference's
@@ -81,8 +89,9 @@ def evaluate(model: M4Depth, params, dataset: SequenceDataset,
     """
     if dataset.db_seq_len is not None:
         return evaluate_windowed(model, params, dataset, progress_every,
-                                 trace)
-    return evaluate_streaming(model, params, dataset, progress_every, trace)
+                                 trace, max_steps)
+    return evaluate_streaming(model, params, dataset, progress_every, trace,
+                              max_steps)
 
 
 def write_perfs(metrics: Dict[str, float], ckpt_dir: str,

@@ -138,13 +138,30 @@ class BestCheckpointManager:
         return False
 
     def best_checkpoint_name(self) -> Optional[str]:
+        """Pick the ledger entry that majority-vote-beats the most others.
+
+        Entry/eviction uses the >3-of-7 vote (callbacks.py:216-227); selection
+        uses the same vote as a round-robin tournament so restore_best can
+        never return a checkpoint the vote would reject. Ties go to the newer
+        entry — the reference's ``checkpoint`` index file always points at the
+        newest accepted backup (callbacks.py:237-239).
+        """
         if not os.path.isfile(self.ledger_path):
             return None
         ledger = pd.read_csv(self.ledger_path)
         if ledger.empty:
             return None
-        # rank by majority-vote wins against the others; fall back to abs_rel
-        return str(ledger.sort_values("abs_rel").iloc[0]["ckpt_name"])
+        n = ledger.shape[0]
+        best_idx, best_wins = n - 1, -1
+        for i in range(n):
+            row = {k: float(ledger.iloc[i][k])
+                   for k in LOWER_IS_BETTER + HIGHER_IS_BETTER}
+            wins = sum(
+                self._wins(row, ledger.iloc[j]) > 3
+                for j in range(n) if j != i)
+            if wins >= best_wins:  # >= : newer entry wins ties
+                best_idx, best_wins = i, wins
+        return str(ledger["ckpt_name"].iloc[best_idx])
 
     def restore_best(self, abstract_state: Any) -> Optional[Any]:
         name = self.best_checkpoint_name()

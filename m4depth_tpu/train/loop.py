@@ -29,7 +29,6 @@ from m4depth_tpu.train.checkpoints import (
 from m4depth_tpu.train.step import (
     create_train_state,
     jit_data_parallel,
-    make_summary_step,
     make_train_step,
 )
 from m4depth_tpu.utils.logging import MetricLogger
@@ -129,13 +128,31 @@ def fit(
             ckpt_dir, os.path.join(cfg.ckpt_dir, "best"),
             keep_top_n=cfg.keep_top_n)
 
-    dp_step = jit_data_parallel(make_train_step(model), mesh)
-    summary_step = jax.jit(make_summary_step(model)) if cfg.log_dir else None
+    dp_step = jit_data_parallel(
+        make_train_step(model, with_images=bool(cfg.log_dir)), mesh)
     meter = ThroughputMeter(dataset.batch_size * (sample["rgb"].shape[1]))
     log_every = log_every or cfg.summary_interval
 
     step_idx = start_epoch * steps_per_epoch
     last_scalars = None
+
+    # Lagged NaN tripwire: losses are checked ``nan_lag`` steps behind the
+    # dispatch frontier, so the float() never stalls the device pipeline (the
+    # value is already materialized) — round 1 forced a full host sync every
+    # 25 steps here. NaN params poison every later loss, so a lagged check
+    # still guarantees no poisoned checkpoint is ever saved.
+    from collections import deque
+
+    nan_lag = max(2, min(nan_check_every, 8))
+    inflight = deque()
+
+    def drain_nan_checks(upto_len: int):
+        while len(inflight) > upto_len:
+            s_i, l = inflight.popleft()
+            lf = float(l)
+            if not np.isfinite(lf):
+                raise NaNStop(f"non-finite loss at step {s_i}: {lf}")
+
     try:
         for epoch in range(start_epoch, n_epochs):
             t_epoch = time.time()
@@ -148,28 +165,26 @@ def fit(
                     if "RESOURCE_EXHAUSTED" in str(e):
                         raise OutOfMemory(str(e)) from e
                     raise
-                if step_idx % nan_check_every == 0 or step_idx == 0:
-                    loss = float(scalars["loss"])
-                    if not np.isfinite(loss):
-                        raise NaNStop(
-                            f"non-finite loss at step {step_idx}: {loss}")
+                inflight.append((step_idx, scalars["loss"]))
+                drain_nan_checks(nan_lag)
                 meter.tick(time.time() - t0)
                 last_scalars = scalars
                 if step_idx % log_every == 0:
+                    images = scalars.pop("images", None)
                     vals = {k: float(v) for k, v in scalars.items()}
                     vals.update(meter.report())
                     logger.log_scalars(step_idx, vals, prefix="train/")
                     print(f"epoch {epoch} step {step_idx}: " +
                           " ".join(f"{k}={v:.4g}" for k, v in vals.items()),
                           flush=True)
-                    if summary_step is not None:
-                        images = summary_step(state.params, sharded)
+                    if images is not None:
                         logger.log_images(
                             step_idx,
                             {k: np.asarray(v) for k, v in images.items()})
                 step_idx += 1
 
-            # epoch end: NaN gate then save
+            # epoch end: drain the tripwire, then NaN-gate the save
+            drain_nan_checks(0)
             if last_scalars is not None and \
                     not np.isfinite(float(last_scalars["loss"])):
                 raise NaNStop(f"non-finite loss at end of epoch {epoch}")
@@ -186,4 +201,7 @@ def fit(
     finally:
         ckpt_mgr.close()
         logger.close()
+        close = getattr(validation_fn, "close", None)
+        if close is not None:  # reap any in-flight validation subprocess
+            close()
     return state

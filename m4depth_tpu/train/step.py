@@ -41,10 +41,41 @@ def _rmse_log(gt: jnp.ndarray, est: jnp.ndarray) -> jnp.ndarray:
     return compute_metrics(gt_c, est_c)["RMSE_log"]
 
 
+def _summary_images(batch: Batch, preds, camera: Camera) -> Dict[str, jnp.ndarray]:
+    """Image summaries from tensors already computed by the train forward:
+    input frame, reprojection sanity check, gt and per-level predicted
+    log-depth (parity: the in-graph image summaries of the reference train
+    step, m4depth_network.py:401-415)."""
+    from m4depth_tpu.geometry import reproject
+
+    max_d = 200.0
+    gt = batch["depth"][:, -1]
+    reproj, _ = reproject(batch["rgb"][:, -2], gt, batch["rot"][:, -1],
+                          batch["trans"][:, -1], camera)
+    log_norm = lambda x: (  # noqa: E731
+        jnp.log(jnp.clip(x, 1.0, max_d)) / jnp.log(max_d))
+    images = {
+        "RGB_im": batch["rgb"][0, -1],
+        "camera_prev_t_reproj": reproj[0],
+        "depth_gt": log_norm(gt[0]),
+    }
+    for i, est in enumerate(preds[-1]):
+        images[f"depth_lvl_{i}"] = log_norm(est.depth[0])
+    return images
+
+
 def make_train_step(
     model: M4Depth,
+    with_images: bool = False,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
-    """One optimization step over a [b, T, ...] window."""
+    """One optimization step over a [b, T, ...] window.
+
+    ``with_images=True`` adds an ``"images"`` entry to the aux dict, computed
+    from the SAME forward pass (the reference emitted summaries from tensors
+    already in the train step, m4depth_network.py:401-415 — no second apply).
+    The tensors are tiny (first batch element only) and are only transferred
+    to the host when the caller actually reads them on a log step.
+    """
 
     def train_step(state: TrainState, batch: Batch):
         camera = batch_camera(batch)
@@ -65,38 +96,11 @@ def make_train_step(
             "RMSE_log": _rmse_log(gt, est),
             "grad_norm": optax.global_norm(grads),
         }
+        if with_images:
+            scalars["images"] = _summary_images(batch, preds, camera)
         return new_state, scalars
 
     return train_step
-
-
-def make_summary_step(model: M4Depth):
-    """Periodic image summaries: input frame, reprojection sanity check,
-    gt and per-level predicted log-depth (parity: the in-graph image
-    summaries of the reference train step, m4depth_network.py:401-415)."""
-
-    def summary_step(params, batch: Batch) -> Dict[str, jnp.ndarray]:
-        from m4depth_tpu.geometry import reproject
-
-        camera = batch_camera(batch)
-        preds = model.apply(params, batch["rgb"], batch["rot"],
-                            batch["trans"], camera)
-        max_d = 200.0
-        gt = batch["depth"][:, -1]
-        reproj, _ = reproject(batch["rgb"][:, -2], gt, batch["rot"][:, -1],
-                              batch["trans"][:, -1], camera)
-        log_norm = lambda x: (  # noqa: E731
-            jnp.log(jnp.clip(x, 1.0, max_d)) / jnp.log(max_d))
-        images = {
-            "RGB_im": batch["rgb"][0, -1],
-            "camera_prev_t_reproj": reproj[0],
-            "depth_gt": log_norm(gt[0]),
-        }
-        for i, est in enumerate(preds[-1]):
-            images[f"depth_lvl_{i}"] = log_norm(est.depth[0])
-        return images
-
-    return summary_step
 
 
 def make_windowed_eval_step(model: M4Depth):

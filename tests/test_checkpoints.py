@@ -87,6 +87,30 @@ class TestBestCheckpointManager:
         ledger = pd.read_csv(best.ledger_path)
         assert ledger.shape[0] == 2
 
+    def test_selection_uses_majority_vote_not_abs_rel(self, tmp_path):
+        """Crafted ledger where the vote and abs_rel disagree: entry B has the
+        lowest abs_rel but loses 5 of 7 metrics to entry A — the vote must
+        pick A (selection consistent with entry/eviction semantics,
+        callbacks.py:216-227)."""
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=2)
+        a = {"abs_rel": 0.50, "sq_rel": 0.30, "rmse": 3.0, "rmsel": 0.30,
+             "a1": 0.90, "a2": 0.95, "a3": 0.99}
+        bm = {"abs_rel": 0.40, "sq_rel": 0.35, "rmse": 3.5, "rmsel": 0.35,
+              "a1": 0.85, "a2": 0.90, "a3": 0.95}
+        best.update(0, a, tiny_state())
+        best.update(1, bm, tiny_state())  # fills slot 2, no vote needed
+        assert best.best_checkpoint_name() == "ckpt-0000"
+
+    def test_selection_ties_go_to_newest(self, tmp_path):
+        """Equal vote standings: the newest entry wins, matching the
+        reference's checkpoint index file (callbacks.py:237-239)."""
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=2)
+        best.update(0, perfs(0.5, 0.5), tiny_state())
+        best.update(1, perfs(0.5, 0.5), tiny_state())  # identical: 0-0 vote
+        assert best.best_checkpoint_name() == "ckpt-0001"
+
     def test_restore_best(self, tmp_path):
         best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
                                      keep_top_n=1)
