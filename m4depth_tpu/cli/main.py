@@ -36,12 +36,29 @@ def build_dataset(cmd, usecase: str, db_paths: dict, batch_size: int,
 
     adapter = get_adapter(cmd.dataset)
     db_path = db_paths.get(cmd.dataset, "")
+    seq = cmd.db_seq_len if db_seq_len == "unset" else db_seq_len
+    if getattr(cmd, "record_store", None) and cmd.mode != "convert":
+        # mmap windows off the pre-decoded store instead of decoding
+        # JPEG/PNG per epoch (legacy TFRecord-DB parity, protobuf_db.py)
+        from m4depth_tpu.data.records import RecordSequenceDataset
+
+        adapter.set_output_size(cmd.out_size)
+        return RecordSequenceDataset(
+            cmd.record_store,
+            adapter=adapter,
+            usecase=usecase,
+            db_seq_len=seq,
+            seq_len=cmd.seq_len,
+            batch_size=batch_size,
+            augment=not cmd.no_augmentation,
+            num_workers=cmd.num_workers,
+        )
     return SequenceDataset(
         adapter,
         db_path=db_path,
         records_path=records_path or cmd.records_path,
         usecase=usecase,
-        db_seq_len=cmd.db_seq_len if db_seq_len == "unset" else db_seq_len,
+        db_seq_len=seq,
         seq_len=cmd.seq_len,
         batch_size=batch_size,
         augment=not cmd.no_augmentation,
@@ -217,6 +234,23 @@ def main(argv=None):
     build_parser(parser)
     cmd, _ = parser.parse_known_args(argv)
     db_paths = dataset_locations(cmd)
+
+    if cmd.mode == "convert":
+        from m4depth_tpu.data import get_adapter
+        from m4depth_tpu.data.records import convert_csv_dataset
+
+        if not cmd.record_store:
+            parser.error("--mode=convert requires --record_store=<out_dir>")
+        n = convert_csv_dataset(
+            get_adapter(cmd.dataset),
+            db_path=db_paths.get(cmd.dataset, ""),
+            records_path=cmd.records_path,
+            out_dir=cmd.record_store,
+            num_workers=cmd.num_workers,
+            out_size=cmd.out_size,
+        )
+        print(f"converted {n} trajectories into {cmd.record_store}")
+        return 0
 
     if cmd.mode in ("train", "finetune"):
         from m4depth_tpu.train.loop import fit

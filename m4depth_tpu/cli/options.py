@@ -30,8 +30,15 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="Model checkpoint directory")
     g.add_argument("--mode",
                    choices=["train", "finetune", "eval", "validation",
-                            "predict"],
-                   help="Run mode")
+                            "predict", "convert"],
+                   help="Run mode (convert: decode the CSV dataset once "
+                        "into a binary record store, the legacy TFRecord-DB "
+                        "capability, protobuf_db.py:287-358)")
+    g.add_argument("--record_store", default=None, type=str,
+                   help="Path to a record store. With --mode=convert: the "
+                        "output directory. Other modes: train/eval from the "
+                        "store (mmap windows) instead of decoding "
+                        "JPEG/PNG per epoch")
     g.add_argument("--db_path_config",
                    default=os.path.join(REPO_ROOT, "datasets_location.json"),
                    help="Json file with datasets path configuration")

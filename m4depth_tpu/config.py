@@ -58,6 +58,10 @@ class ModelConfig:
     remat: bool = False               # rematerialize decoder levels in the
                                       # backward pass (trade FLOPs for HBM;
                                       # large frames / long windows)
+    time_axis: str = "scan"           # "scan": lax.scan over frames 1..T-1
+                                      # (O(1) trace/compile cost in T);
+                                      # "unroll": python loop (always used
+                                      # for T <= 2, where scan buys nothing)
 
     @property
     def channels(self) -> Tuple[int, ...]:

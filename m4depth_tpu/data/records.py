@@ -227,6 +227,10 @@ class RecordSequenceDataset:
     def num_batches(self) -> int:
         return len(self)
 
+    @property
+    def depth_type(self) -> str:
+        return self.adapter.depth_type if self.adapter is not None else "map"
+
     def _make_seq(self, spec) -> Dict[str, np.ndarray]:
         (ti, start), rng_seed = spec
         rng = np.random.RandomState(rng_seed)
@@ -277,3 +281,21 @@ class RecordSequenceDataset:
                     "camera_c": np.stack([s["camera_c"] for s in pending]),
                 }
                 pending = []
+
+    def frames(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Streaming eval: yield single-frame batches [1, h, w, ...] in
+        trajectory order (interface parity with SequenceDataset.frames)."""
+        assert not self.train_like
+        for batch in self.batches():
+            if self.db_seq_len is None:
+                yield {
+                    "rgb": batch["rgb"][:, 0],
+                    "depth": batch["depth"][:, 0],
+                    "rot": batch["rot"][:, 0],
+                    "trans": batch["trans"][:, 0],
+                    "new_traj": batch["new_traj"][:, 0],
+                    "camera_f": batch["camera_f"],
+                    "camera_c": batch["camera_c"],
+                }
+            else:
+                yield batch

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from m4depth_tpu.config import ModelConfig
@@ -102,15 +103,51 @@ class M4Depth(nn.Module):
         Parity: the reference's train-time functional recurrence
         (m4depth_network.py:278-323) with batch-synchronized resets.
         Initialize the model with T >= 2 so the refiner parameters exist.
+
+        The time axis is a ``lax.scan`` with the per-level ``LevelState``
+        tuple as carry (SURVEY.md §7): the trace/compile cost is one frame
+        body regardless of T, so long windows (db_seq_len 8, legacy seq 5)
+        compile as fast as T=2. Frame 0 runs outside the scan — its reset
+        path is a statically different computation. ``cfg.time_axis =
+        "unroll"`` keeps the python loop (debugging / tiny-T comparisons).
         """
         T = rgb_seq.shape[1]
-        state: Optional[ModelState] = None
-        outs: List[Pyramid] = []
-        for t in range(T):
-            state, pyr = self.forward_frame(
-                state, rgb_seq[:, t], rot_seq[:, t], trans_seq[:, t],
-                camera, new_traj=None, first=(t == 0))
-            outs.append(pyr)
+        if self.cfg.time_axis == "unroll" or T <= 2:
+            state: Optional[ModelState] = None
+            outs: List[Pyramid] = []
+            for t in range(T):
+                state, pyr = self.forward_frame(
+                    state, rgb_seq[:, t], rot_seq[:, t], trans_seq[:, t],
+                    camera, new_traj=None, first=(t == 0))
+                outs.append(pyr)
+            return outs
+
+        state, pyr0 = self.forward_frame(
+            None, rgb_seq[:, 0], rot_seq[:, 0], trans_seq[:, 0],
+            camera, new_traj=None, first=True)
+
+        def body(mdl: "M4Depth", carry: ModelState, xs):
+            rgb, rot, trans = xs
+            new_state, pyr = mdl.forward_frame(
+                carry, rgb, rot, trans, camera, new_traj=None, first=False)
+            return new_state, tuple(pyr)
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0, out_axes=0)
+        # time-major xs: [T-1, b, ...]
+        xs = (
+            jnp.moveaxis(rgb_seq[:, 1:], 1, 0),
+            jnp.moveaxis(rot_seq[:, 1:], 1, 0),
+            jnp.moveaxis(trans_seq[:, 1:], 1, 0),
+        )
+        _, stacked = scan(self, state, xs)
+        outs = [pyr0]
+        for t in range(T - 1):
+            outs.append([jax.tree_util.tree_map(lambda x: x[t], lvl)
+                         for lvl in stacked])
         return outs
 
     # -- model contract (parity: the legacy PipelineModel interface,

@@ -85,3 +85,58 @@ class TestCliEval:
             "--num_workers=2", "--compute_dtype=float32",
         ])
         assert rc == 0
+
+
+class TestCliRecordStore:
+    """convert verb + --record_store training/eval (legacy TFRecord-DB
+    capability, .legacy/multi_gpu_pipeline/protobuf_db.py:287-358)."""
+
+    def test_convert_train_eval_from_store(self, fixture_env, tmp_path):
+        root, records, cfg = fixture_env
+        from m4depth_tpu.cli.main import main
+
+        store = str(tmp_path / "store")
+        rc = main([
+            "--mode=convert", "--dataset=midair",
+            f"--db_path_config={cfg}",
+            f"--records_path={records}",
+            f"--record_store={store}",
+            "--out_size", "32", "32", "--num_workers=2",
+        ])
+        assert rc == 0
+        assert os.path.isfile(os.path.join(store, "index.json"))
+
+        ckpt = str(tmp_path / "ckpt_store")
+        rc = main([
+            "--mode=train", "--dataset=midair",
+            f"--db_path_config={cfg}",
+            f"--record_store={store}",
+            f"--ckpt_dir={ckpt}",
+            "--db_seq_len=4", "--seq_len=2", "--batch_size=2",
+            "--arch_depth=2", "--out_size", "32", "32",
+            "--num_workers=2", "--compute_dtype=float32",
+            "--total_steps=2",
+        ])
+        assert rc == 0
+
+        rc = main([
+            "--mode=eval", "--dataset=midair",
+            f"--db_path_config={cfg}",
+            f"--record_store={store}",
+            f"--ckpt_dir={ckpt}",
+            "--arch_depth=2", "--out_size", "32", "32",
+            "--num_workers=2", "--compute_dtype=float32",
+        ])
+        assert rc == 0
+        perfs = np.loadtxt(os.path.join(ckpt, "perfs-midair.txt"))
+        assert np.all(np.isfinite(perfs))
+
+    def test_convert_requires_out_dir(self, fixture_env):
+        root, records, cfg = fixture_env
+        import pytest as _pytest
+
+        from m4depth_tpu.cli.main import main
+
+        with _pytest.raises(SystemExit):
+            main(["--mode=convert", "--dataset=midair",
+                  f"--db_path_config={cfg}", f"--records_path={records}"])
