@@ -83,6 +83,7 @@ class SequenceDataset:
         seed: int = 42,
         num_workers: int = 8,
         prefetch_batches: int = 2,
+        host_shard: bool = False,
     ):
         self.adapter = adapter
         adapter.set_output_size(out_size, crop=crop)
@@ -106,6 +107,12 @@ class SequenceDataset:
             pd.read_csv(f, sep="\t") for f in find_trajectory_csvs(records_path)
         ]
         self._build_index()
+        if host_shard:
+            # per-host manifest sharding for multi-host training: each
+            # process decodes only its strided share of the windows
+            from m4depth_tpu.parallel.mesh import host_shard_indices
+
+            self.windows = self.windows[host_shard_indices(len(self.windows))]
 
     # ------------------------------------------------------------------ #
 

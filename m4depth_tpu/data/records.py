@@ -198,7 +198,7 @@ class RecordSequenceDataset:
     def __init__(self, store_dir: str, adapter=None, usecase: str = "train",
                  db_seq_len: Optional[int] = None, seq_len: int = 4,
                  batch_size: int = 3, augment: bool = True, seed: int = 42,
-                 num_workers: int = 4):
+                 num_workers: int = 4, host_shard: bool = False):
         self.reader = RecordTrajectoryReader(store_dir)
         self.adapter = adapter
         self.usecase = usecase
@@ -219,6 +219,10 @@ class RecordSequenceDataset:
             for ti in range(len(self.reader)):
                 for bi in range(self.reader.num_frames(ti) // block):
                     self.windows.append((ti, bi * block))
+        if host_shard:
+            from m4depth_tpu.parallel.mesh import host_shard_indices
+
+            self.windows = self.windows[host_shard_indices(len(self.windows))]
 
     def __len__(self) -> int:
         return len(self.windows) // self.batch_size

@@ -1,13 +1,21 @@
 from m4depth_tpu.parallel.mesh import (
     make_mesh,
+    make_hybrid_mesh,
+    distributed_init,
+    data_axes,
     batch_sharding,
     replicated_sharding,
     shard_batch_pytree,
+    host_shard_indices,
 )
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
+    "distributed_init",
+    "data_axes",
     "batch_sharding",
     "replicated_sharding",
     "shard_batch_pytree",
+    "host_shard_indices",
 ]
