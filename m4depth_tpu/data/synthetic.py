@@ -1,0 +1,204 @@
+"""Analytic synthetic sequences: textured 3-D planes with closed-form depth.
+
+Every frame is ray-cast against a randomly tilted textured plane from a
+chained camera trajectory, so (frames, depth, motion) are *exactly*
+photometrically consistent with the package's own geometry conventions
+(`m4depth_tpu.geometry.reprojection_flow` backward-warp): sampling the
+previous frame at the flow induced by the current depth reproduces the
+current frame up to bilinear-interpolation error of the smooth texture.
+
+This fills the golden-number role of the reference's pretrained-weight
+reproduction contract (/root/reference/README.md:155-163): the real datasets
+are not available in this environment, so end-to-end learning is validated
+on data whose ground truth is analytically correct by construction
+(tools/synthetic_validation.py, tests/test_synthetic.py).
+
+Conventions (must match m4depth_tpu/geometry/parallax.py):
+  * ``rot[t]`` is a (w, x, y, z) quaternion and ``trans[t]`` a 3-vector such
+    that a point expressed in the frame-``t`` camera maps to the
+    frame-``t-1`` camera as ``X_prev = R(rot[t]) @ X_cur + trans[t]``.
+  * Pixel rays are ``((u+0.5-cx)/fx, (v+0.5-cy)/fy, 1)``; depth is the
+    camera-frame z of the surface point (= the ray parameter).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+
+
+def _quat_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Hamilton product of (w, x, y, z) quaternions."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], dtype=np.float64)
+
+
+def _quat_conj(q: np.ndarray) -> np.ndarray:
+    return np.array([q[0], -q[1], -q[2], -q[3]], dtype=np.float64)
+
+
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """Same expansion as geometry.rotations.rot_mat_quaternion (unit quat)."""
+    w, x, y, z = q
+    tx, ty, tz = 2.0 * x, 2.0 * y, 2.0 * z
+    twx, twy, twz = tx * w, ty * w, tz * w
+    txx, txy, txz = tx * x, ty * x, tz * x
+    tyy, tyz, tzz = ty * y, tz * y, tz * z
+    return np.array([
+        [1.0 - (tyy + tzz), txy - twz, txz + twy],
+        [txy + twz, 1.0 - (txx + tzz), tyz - twx],
+        [txz - twy, tyz + twx, 1.0 - (txx + tyy)],
+    ], dtype=np.float64)
+
+
+def _quat_axis_angle(axis: np.ndarray, angle: float) -> np.ndarray:
+    axis = axis / max(np.linalg.norm(axis), 1e-12)
+    half = 0.5 * angle
+    return np.concatenate([[np.cos(half)], np.sin(half) * axis])
+
+
+class _PlaneTexture:
+    """Smooth RGB texture over 3-D points: low-frequency sinusoid mixture.
+
+    Wavelengths are kept long relative to the pixel footprint on the plane
+    so that bilinear resampling (the warp's interpolation) stays within the
+    photometric-consistency tolerance used by the tests.
+    """
+
+    def __init__(self, rng: np.random.RandomState, n_waves: int = 3):
+        # per (channel, wave): direction, wavelength in [14, 30], phase, amp
+        dirs = rng.normal(size=(3, n_waves, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        wavelen = rng.uniform(14.0, 30.0, size=(3, n_waves))
+        self.k = dirs * (2.0 * np.pi / wavelen)[..., None]   # [3, n, 3]
+        self.phase = rng.uniform(0.0, 2.0 * np.pi, size=(3, n_waves))
+        amp = rng.uniform(0.5, 1.0, size=(3, n_waves))
+        self.amp = 0.42 * amp / amp.sum(axis=1, keepdims=True)  # sum<=0.42
+
+    def __call__(self, points: np.ndarray) -> np.ndarray:
+        """points [..., 3] -> rgb [..., 3] in (0, 1)."""
+        # phase_full [..., 3, n]
+        ph = np.einsum("...k,cnk->...cn", points, self.k) + self.phase
+        rgb = 0.5 + (self.amp * np.sin(ph)).sum(axis=-1)
+        return np.clip(rgb, 0.02, 0.98)
+
+
+def make_sequence(rng: np.random.RandomState, T: int, h: int, w: int) -> Dict[str, np.ndarray]:
+    """Render one T-frame sequence of a textured plane.
+
+    Returns a dict with:
+      RGB_im:   [T, h, w, 3] float32 in (0, 1)
+      depth:    [T, h, w, 1] float32, strictly inside (1, 100)
+      rot:      [T, 4] float32 (w,x,y,z); rot[0] = identity
+      trans:    [T, 3] float32; trans[0] = 0
+      camera_f: [2] float32 (fx, fy) = (w/2, h/2)
+      camera_c: [2] float32 (cx, cy) = (w/2, h/2)
+    """
+    f = np.array([w / 2.0, h / 2.0], dtype=np.float64)
+    c = np.array([w / 2.0, h / 2.0], dtype=np.float64)
+
+    # plane in world coords (= camera-0 frame): mild tilt, facing the camera
+    tilt = rng.uniform(-0.22, 0.22, size=2)
+    normal = np.array([tilt[0], tilt[1], -1.0])
+    normal /= np.linalg.norm(normal)
+    p0 = np.array([rng.uniform(-1.0, 1.0), rng.uniform(-1.0, 1.0),
+                   rng.uniform(5.0, 9.0)])
+    plane_d = normal @ p0
+    texture = _PlaneTexture(rng)
+
+    # chained camera trajectory: pose t maps camera coords -> world coords
+    quats = [np.array([1.0, 0.0, 0.0, 0.0])]
+    pos = [np.zeros(3)]
+    for _ in range(1, T):
+        axis = rng.normal(size=3)
+        angle = rng.uniform(0.0, 0.04)
+        dq = _quat_axis_angle(axis, angle)
+        quats.append(_quat_mul(quats[-1], dq))
+        step = np.array([rng.uniform(-0.25, 0.25), rng.uniform(-0.25, 0.25),
+                         rng.uniform(-0.15, 0.35)])
+        pos.append(pos[-1] + _quat_to_mat(quats[-2]) @ step)
+
+    # pixel rays (camera frame), shared across frames
+    us = (np.arange(w) + 0.5 - c[0]) / f[0]
+    vs = (np.arange(h) + 0.5 - c[1]) / f[1]
+    rays = np.stack([np.broadcast_to(us[None, :], (h, w)),
+                     np.broadcast_to(vs[:, None], (h, w)),
+                     np.ones((h, w))], axis=-1)           # [h, w, 3]
+
+    rgb_seq, depth_seq, rot_seq, trans_seq = [], [], [], []
+    for t in range(T):
+        R_wt = _quat_to_mat(quats[t])
+        dirs = rays @ R_wt.T                              # world ray dirs
+        denom = dirs @ normal                             # bounded below ~0.5
+        s = (plane_d - normal @ pos[t]) / denom           # [h, w] = depth
+        points = pos[t][None, None, :] + dirs * s[..., None]
+        rgb_seq.append(texture(points).astype(np.float32))
+        depth_seq.append(s[..., None].astype(np.float32))
+
+        if t == 0:
+            rot_seq.append(np.array([1.0, 0, 0, 0], dtype=np.float32))
+            trans_seq.append(np.zeros(3, dtype=np.float32))
+        else:
+            # X_prev = R_rel X_cur + t_rel with R_rel = R_{w,t-1}^T R_{w,t}
+            q_rel = _quat_mul(_quat_conj(quats[t - 1]), quats[t])
+            R_prev = _quat_to_mat(quats[t - 1])
+            t_rel = R_prev.T @ (pos[t] - pos[t - 1])
+            rot_seq.append(q_rel.astype(np.float32))
+            trans_seq.append(t_rel.astype(np.float32))
+
+    depth = np.stack(depth_seq)
+    assert depth.min() > 1.0 and depth.max() < 100.0, (
+        "synthetic scene out of depth bounds: "
+        f"[{depth.min():.2f}, {depth.max():.2f}]")
+    return {
+        "RGB_im": np.stack(rgb_seq),
+        "depth": depth,
+        "rot": np.stack(rot_seq),
+        "trans": np.stack(trans_seq),
+        "camera_f": f.astype(np.float32),
+        "camera_c": c.astype(np.float32),
+    }
+
+
+class SyntheticGeometricDataset:
+    """Deterministic pool of batched synthetic sequences.
+
+    ``batches(epoch)`` yields ``n_batches`` dicts shaped for the training
+    step (`m4depth_tpu.train.step.batch_camera` schema). The stream is a
+    pure function of (seed, epoch, batch index) — re-iterating an epoch
+    reproduces it exactly.
+    """
+
+    def __init__(self, n_batches: int, batch_size: int, T: int, h: int,
+                 w: int, seed: int = 0):
+        self.n_batches = n_batches
+        self.batch_size = batch_size
+        self.T = T
+        self.h = h
+        self.w = w
+        self.seed = seed
+
+    def batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        for i in range(self.n_batches):
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + epoch * 10007 + i) % (2 ** 31 - 1))
+            seqs = [make_sequence(rng, self.T, self.h, self.w)
+                    for _ in range(self.batch_size)]
+            new_traj = np.zeros((self.batch_size, self.T), bool)
+            new_traj[:, 0] = True
+            yield {
+                "rgb": np.stack([s["RGB_im"] for s in seqs]),
+                "depth": np.stack([s["depth"] for s in seqs]),
+                "rot": np.stack([s["rot"] for s in seqs]),
+                "trans": np.stack([s["trans"] for s in seqs]),
+                "camera_f": np.stack([s["camera_f"] for s in seqs]),
+                "camera_c": np.stack([s["camera_c"] for s in seqs]),
+                "new_traj": new_traj,
+            }
