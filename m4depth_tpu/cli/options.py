@@ -77,10 +77,11 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16", "float16"],
                    help="Cost-volume correlation dtype (the reference "
                         "hardcoded fp16, depth_operations.py:276-278)")
-    g.add_argument("--dscv_impl", default="expanded",
-                   choices=["expanded", "gather"],
-                   help="DSCV formulation: channel-expanded static shifts "
-                        "(TPU-fast) or direct per-hypothesis warp")
+    g.add_argument("--dscv_impl", default="split",
+                   choices=["split", "flat", "expanded", "gather"],
+                   help="DSCV formulation: chunked expanded static shifts "
+                        "(TPU-fast default), single-fetch expanded variants, "
+                        "or direct per-hypothesis warp")
     g.add_argument("--sncv_impl", default="xla", choices=["xla", "pallas"],
                    help="SNCV kernel: XLA static slices or fused Pallas")
     g.add_argument("--remat", default=False, action="store_true",
@@ -140,7 +141,7 @@ def model_config_from_args(cmd, depth_type: str = "map") -> ModelConfig:
         depth_type=depth_type,
         compute_dtype=cmd.compute_dtype,
         cv_dtype=getattr(cmd, "cv_dtype", "bfloat16"),
-        dscv_impl=getattr(cmd, "dscv_impl", "expanded"),
+        dscv_impl=getattr(cmd, "dscv_impl", "split"),
         sncv_impl=getattr(cmd, "sncv_impl", "xla"),
         remat=getattr(cmd, "remat", False),
     )

@@ -50,11 +50,20 @@ class ModelConfig:
     compute_dtype: str = "float32"    # conv/correlation dtype: "float32" | "bfloat16"
     cv_dtype: str = "bfloat16"        # correlation accumulate dtype (reference used fp16,
                                       # depth_operations.py:276-278; bf16 is TPU-native)
-    dscv_impl: str = "expanded"       # "expanded": dense static-shift DSCV (one gather
-                                      # per pixel, ~10x faster on TPU); "gather": direct
-                                      # per-hypothesis warp (reference formulation)
+    dscv_impl: str = "split"          # "split": chunked expanded-shift DSCV
+                                      # (default; fast-regime row gathers);
+                                      # "flat": single-fetch expanded form;
+                                      # "expanded": spatial-layout expanded
+                                      # form; "gather": direct per-hypothesis
+                                      # warp (reference formulation)
     sncv_impl: str = "xla"            # "xla": static-slice formulation;
                                       # "pallas": fused VMEM-resident kernel
+    dscv_chunk_bytes: int = 30 << 20  # split the expanded-map fetch into
+                                      # dx-chunks no larger than this: XLA's
+                                      # row gather falls off a ~8x throughput
+                                      # cliff past ~64 MB operands, and ~30 MB
+                                      # chunks measured fastest end-to-end
+                                      # (v5e, 384^2 d6: 154 vs 114 fps)
     remat: bool = False               # rematerialize decoder levels in the
                                       # backward pass (trade FLOPs for HBM;
                                       # large frames / long windows)

@@ -17,6 +17,7 @@ TPU-first redesign (SURVEY.md §7):
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import flax.linen as nn
@@ -189,8 +190,15 @@ class DecoderLevel(nn.Module):
         prev_p = prep_features(state.f_maps, cuts, abl.normalize_features)
 
         para_prev_t = prev_depth_to_parallax(state.depth, rot, trans, camera)
-        dscv = (parallax_sweeping_cv_expanded
-                if self.cfg.dscv_impl == "expanded" else parallax_sweeping_cv)
+        from m4depth_tpu.ops import cost_volume as _cv
+        dscv = {
+            "split": functools.partial(
+                _cv.parallax_sweeping_cv_split,
+                chunk_bytes=self.cfg.dscv_chunk_bytes),
+            "flat": _cv.parallax_sweeping_cv_flat,
+            "expanded": parallax_sweeping_cv_expanded,
+            "gather": parallax_sweeping_cv,
+        }[self.cfg.dscv_impl]
         cv, para_reproj = dscv(
             curr_p, prev_p, para_prev_t, prev_l.parallax, rot, trans, camera,
             self.cfg.search_range, num_cuts=cuts,

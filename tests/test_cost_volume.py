@@ -1,14 +1,30 @@
 """Tests for the DSCV and SNCV cost volumes."""
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from m4depth_tpu.geometry import Camera, depth_to_parallax
 from m4depth_tpu.ops.cost_volume import (
     parallax_sweeping_cv,
     parallax_sweeping_cv_expanded,
+    parallax_sweeping_cv_flat,
+    parallax_sweeping_cv_split,
     spatial_cost_volume,
 )
+
+# every fast DSCV formulation, checked against the direct per-hypothesis warp
+FAST_DSCV_IMPLS = {
+    "expanded": parallax_sweeping_cv_expanded,
+    "flat": parallax_sweeping_cv_flat,
+    "split1": functools.partial(parallax_sweeping_cv_split, n_chunks=1),
+    "split3": functools.partial(parallax_sweeping_cv_split, n_chunks=3),
+    # auto-chunking with a tiny budget: exercises the bytes-driven split
+    "split_auto": functools.partial(parallax_sweeping_cv_split,
+                                    chunk_bytes=4096),
+}
 
 
 def make_camera(b=1, f=(16.0, 16.0), c=(8.0, 8.0)):
@@ -111,9 +127,11 @@ class TestDSCV:
         winner = scores.argmax(-1)
         assert (winner == 5).mean() > 0.9  # index 5 = offset +1 of 9
 
-    def test_expanded_matches_gather_formulation(self):
-        """The TPU-native expanded-shift DSCV must reproduce the direct
+    @pytest.mark.parametrize("impl", sorted(FAST_DSCV_IMPLS))
+    def test_expanded_matches_gather_formulation(self, impl):
+        """Every fast DSCV formulation must reproduce the direct
         per-hypothesis warp exactly (both in fp32)."""
+        fast = FAST_DSCV_IMPLS[impl]
         rng = np.random.RandomState(7)
         b, h, w, C = 2, 12, 14, 8
         cam = make_camera(b, f=(10.0, 11.0), c=(7.0, 6.0))
@@ -134,7 +152,7 @@ class TestDSCV:
         cv_ref, pw_ref = parallax_sweeping_cv(
             c1, c2, para_t, center, rot, trans, cam, 4, num_cuts=2,
             cv_dtype=jnp.float32)
-        cv_exp, pw_exp = parallax_sweeping_cv_expanded(
+        cv_exp, pw_exp = fast(
             c1, c2, para_t, center, rot, trans, cam, 4, num_cuts=2,
             cv_dtype=jnp.float32)
         np.testing.assert_allclose(np.array(cv_exp), np.array(cv_ref),
@@ -142,8 +160,10 @@ class TestDSCV:
         np.testing.assert_allclose(np.array(pw_exp), np.array(pw_ref),
                                    rtol=1e-4, atol=1e-4)
 
-    def test_expanded_matches_gather_tiny_level(self):
+    @pytest.mark.parametrize("impl", sorted(FAST_DSCV_IMPLS))
+    def test_expanded_matches_gather_tiny_level(self, impl):
         """Deepest-pyramid-level shapes (h, w smaller than the shift box)."""
+        fast = FAST_DSCV_IMPLS[impl]
         rng = np.random.RandomState(12)
         b, h, w, C = 1, 6, 6, 8
         cam = make_camera(b, f=(3.0, 3.0), c=(3.0, 3.0))
@@ -156,7 +176,7 @@ class TestDSCV:
         cv_ref, pw_ref = parallax_sweeping_cv(
             c1, c2, para_t, center, rot, trans, cam, 4, num_cuts=4,
             cv_dtype=jnp.float32)
-        cv_exp, pw_exp = parallax_sweeping_cv_expanded(
+        cv_exp, pw_exp = fast(
             c1, c2, para_t, center, rot, trans, cam, 4, num_cuts=4,
             cv_dtype=jnp.float32)
         np.testing.assert_allclose(np.array(cv_exp), np.array(cv_ref),
@@ -164,11 +184,13 @@ class TestDSCV:
         np.testing.assert_allclose(np.array(pw_exp), np.array(pw_ref),
                                    rtol=1e-4, atol=1e-4)
 
-    def test_expanded_gradients_match_gather(self):
-        """Backward parity: both DSCV formulations must produce the same
-        gradients (training correctness of the fast path)."""
+    @pytest.mark.parametrize("impl", sorted(FAST_DSCV_IMPLS))
+    def test_expanded_gradients_match_gather(self, impl):
+        """Backward parity: every DSCV formulation must produce the same
+        gradients (training correctness of the fast paths)."""
         import jax
 
+        fast = FAST_DSCV_IMPLS[impl]
         rng = np.random.RandomState(11)
         b, h, w, C = 1, 10, 10, 4
         cam = make_camera(b, f=(8.0, 8.0), c=(5.0, 5.0))
@@ -189,7 +211,7 @@ class TestDSCV:
 
         g_ref = jax.grad(lambda *a: loss(parallax_sweeping_cv, *a),
                          argnums=(0, 1, 2))(c1, c2, center)
-        g_exp = jax.grad(lambda *a: loss(parallax_sweeping_cv_expanded, *a),
+        g_exp = jax.grad(lambda *a: loss(fast, *a),
                          argnums=(0, 1, 2))(c1, c2, center)
         for a, b_ in zip(g_ref, g_exp):
             np.testing.assert_allclose(np.array(b_), np.array(a),

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Quick model-level fps benchmark with config overrides (real TPU).
+
+Usage: python tools/fps.py [--dscv_impl v4] [--sncv_impl xla] [--size 384]
+       [--profile]  (adds a per-component breakdown via jax.profiler)
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/m4depth_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dscv_impl", default="split")
+    p.add_argument("--sncv_impl", default="xla")
+    p.add_argument("--chunk_bytes", type=int, default=30 << 20)
+    p.add_argument("--size", type=int, default=384)
+    p.add_argument("--levels", type=int, default=6)
+    p.add_argument("--n", type=int, default=200)
+    p.add_argument("--profile", action="store_true")
+    a = p.parse_args()
+
+    from m4depth_tpu.config import ModelConfig
+    from m4depth_tpu.geometry import Camera
+    from m4depth_tpu.models import M4Depth, init_state
+
+    cfg = ModelConfig(num_levels=a.levels, compute_dtype="bfloat16",
+                      dscv_impl=a.dscv_impl, sncv_impl=a.sncv_impl,
+                      dscv_chunk_bytes=a.chunk_bytes)
+    model = M4Depth(cfg)
+    b, h, w = 1, a.size, a.size
+    rng = np.random.RandomState(0)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.asarray(rng.rand(b, 2, 64, 64, 3).astype(np.float32)),
+        jnp.tile(jnp.array([[[1.0, 0, 0, 0]]], jnp.float32), (b, 2, 1)),
+        jnp.tile(jnp.array([[[0.05, 0.0, 0.4]]], jnp.float32), (b, 2, 1)),
+        Camera(f=jnp.full((b, 2), 32.0), c=jnp.full((b, 2), 32.0)))
+
+    @jax.jit
+    def step(params, state, rgb, rot, trans, f, c, new_traj):
+        return model.apply(params, state, rgb, rot, trans, Camera(f, c),
+                           new_traj, method=M4Depth.step)
+
+    state = init_state(cfg, b, h, w)
+    rgb = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+    rot = jnp.array([[1.0, 0.001, -0.002, 0.0005]], jnp.float32)
+    trans = jnp.array([[0.05, 0.02, 0.4]], jnp.float32)
+    f = jnp.full((b, 2), h / 2.0)
+    c = jnp.full((b, 2), h / 2.0)
+    go = jnp.zeros((b,), bool)
+
+    state, depth = step(params, state, rgb, rot, trans, f, c,
+                        jnp.ones((b,), bool))
+    np.asarray(depth)
+    for _ in range(10):
+        state, depth = step(params, state, rgb, rot, trans, f, c, go)
+    np.asarray(depth)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(a.n):
+            state, depth = step(params, state, rgb, rot, trans, f, c, go)
+        np.asarray(depth)
+        best = min(best, time.perf_counter() - t0)
+    print(f"fps={a.n / best:.2f}  ms/frame={1e3 * best / a.n:.3f}  "
+          f"dscv={a.dscv_impl} sncv={a.sncv_impl} size={a.size}")
+
+    if a.profile:
+        import glob
+        import gzip
+        import json as jsonlib
+        import re
+        from collections import defaultdict
+
+        hlo = step.lower(params, state, rgb, rot, trans, f, c,
+                         go).compile().as_text()
+        with jax.profiler.trace("/tmp/m4depth_fps_prof"):
+            for _ in range(30):
+                state, depth = step(params, state, rgb, rot, trans, f, c, go)
+            np.asarray(depth)
+        meta = {}
+        for m in re.finditer(
+                r'%?([\w.-]+) = ([^\s]+)[^\n]*?metadata={op_name="([^"]*)" '
+                r'source_file="([^"]*)" source_line=(\d+)', hlo):
+            meta[m.group(1)] = (m.group(2)[:48], m.group(3),
+                                os.path.basename(m.group(4)), int(m.group(5)))
+        paths = glob.glob(
+            "/tmp/m4depth_fps_prof/plugins/profile/*/*.trace.json.gz")
+        with gzip.open(max(paths, key=os.path.getmtime), "rt") as fh:
+            trace = jsonlib.load(fh)
+        per = defaultdict(float)
+        agg = defaultdict(float)
+        for ev in trace["traceEvents"]:
+            if ev.get("ph") != "X" or ev.get("pid") != 3:
+                continue
+            nm = ev.get("name", "?")
+            if nm.startswith("jit_"):
+                continue
+            dur = ev.get("dur", 0.0) / 30
+            per[nm] += dur
+            info = meta.get(nm) or meta.get(nm.replace("-done", ""))
+            if info is None:
+                agg["unattr"] += dur
+                continue
+            _, op, fl, line = info
+            comp = fl.replace(".py", "")
+            if fl == "cost_volume.py":
+                comp = "sncv" if line >= 420 else "dscv"
+            agg[comp] += dur
+        total = sum(per.values())
+        print(f"device total {total:.0f} us/step")
+        for k, v in sorted(agg.items(), key=lambda kv: -kv[1]):
+            print(f"  {v:8.1f}  {k}")
+        print("  -- top ops --")
+        for nm, us in sorted(per.items(), key=lambda kv: -kv[1])[:16]:
+            shape, op, fl, line = (meta.get(nm)
+                                   or meta.get(nm.replace("-done", ""))
+                                   or ("?", "?", "?", 0))
+            tail = "/".join(op.split("/")[-2:])[:44]
+            print(f"  {us:8.1f} {100*us/total:4.1f}% {nm[:20]:20s} "
+                  f"{shape:48s} {fl}:{line} {tail}")
+
+
+if __name__ == "__main__":
+    main()
