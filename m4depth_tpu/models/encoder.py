@@ -46,13 +46,21 @@ class DomainNorm(nn.Module):
             "bias", nn.initializers.zeros, (1, 1, 1, self.features), jnp.float32)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # reductions accumulate in f32 (the converts fuse into the reduces);
+        # the large elementwise tensors stay in the compute dtype — at bf16
+        # this avoids materializing two f32 copies of the level-0 map
         xf = x.astype(jnp.float32)
         mean = xf.mean(axis=(1, 2), keepdims=True)
         var = xf.var(axis=(1, 2), keepdims=True)
-        standardized = (xf - mean) / (var + 1e-12)
-        sq = jnp.sum(standardized * standardized, axis=-1, keepdims=True)
-        normed = standardized * jax.lax.rsqrt(jnp.maximum(sq, 1e-12))
-        return (self.scale * normed + self.bias).astype(self.dtype)
+        inv = (1.0 / (var + 1e-12)).astype(x.dtype)
+        standardized = (x - mean.astype(x.dtype)) * inv
+        sq = jnp.sum(
+            jnp.square(standardized.astype(jnp.float32)),
+            axis=-1, keepdims=True)
+        normed = standardized * jax.lax.rsqrt(
+            jnp.maximum(sq, 1e-12)).astype(x.dtype)
+        return (self.scale.astype(x.dtype) * normed
+                + self.bias.astype(x.dtype)).astype(self.dtype)
 
 
 class Encoder(nn.Module):

@@ -399,17 +399,33 @@ def spatial_cost_volume(
     b, h, w, C = c1.shape
     r = search_range * dilation_rate
     side = 2 * search_range + 1
+    n_off = side * side
     cc = C // num_cuts
 
     pad = jnp.pad(c2, ((0, 0), (r, r), (r, r), (0, 0)))
     c1r = c1.reshape(b, h, w, num_cuts, cc).astype(cv_dtype)
 
-    costs = []
-    for dy in range(side):
-        for dx in range(side):
+    def cost_at(o):
+        dy, dx = divmod(o, side)
+        y0, x0 = dy * dilation_rate, dx * dilation_rate
+        shifted = pad[:, y0:y0 + h, x0:x0 + w, :]
+        prod = c1r * shifted.reshape(b, h, w, num_cuts, cc).astype(cv_dtype)
+        return prod.mean(axis=-1)                         # [b,h,w,num_cuts]
+
+    if c2 is c1:
+        # autocorrelation symmetry: cost at offset -delta is the +delta cost
+        # map shifted by delta (exact, incl. the zero-padded borders) — only
+        # (n_off+1)/2 of the correlation maps need computing
+        half = (n_off + 1) // 2
+        costs = [cost_at(o) for o in range(half)]
+        for o in range(half, n_off):
+            mirror = costs[n_off - 1 - o]
+            dy, dx = divmod(o, side)
             y0, x0 = dy * dilation_rate, dx * dilation_rate
-            shifted = pad[:, y0:y0 + h, x0:x0 + w, :]
-            prod = c1r * shifted.reshape(b, h, w, num_cuts, cc).astype(cv_dtype)
-            costs.append(prod.mean(axis=-1))              # [b,h,w,num_cuts]
+            costs.append(jnp.pad(
+                mirror, ((0, 0), (r, r), (r, r), (0, 0))
+            )[:, y0:y0 + h, x0:x0 + w, :])
+    else:
+        costs = [cost_at(o) for o in range(n_off)]
     cv = jnp.concatenate(costs, axis=-1).astype(jnp.float32)
     return jnp.where(cv > 0, cv, cv * leaky_slope)

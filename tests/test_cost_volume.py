@@ -79,6 +79,28 @@ class TestSNCV:
         out = spatial_cost_volume(c, c, 3, num_cuts=4)
         assert out.shape == (1, 4, 4, 49 * 4)
 
+    def test_autocorrelation_symmetric_path_matches_direct(self):
+        """When c1 IS c2 the symmetric fast path (half the correlation maps,
+        mirrors derived by shifting) must equal the direct computation,
+        including zero-padded borders, dilation, and gradients."""
+        import jax
+
+        rng = np.random.RandomState(3)
+        c = jnp.asarray(rng.randn(2, 9, 11, 8).astype(np.float32))
+        for r_, dil, cuts in [(3, 1, 2), (2, 2, 1), (1, 1, 4)]:
+            sym = spatial_cost_volume(c, c, r_, dilation_rate=dil,
+                                      num_cuts=cuts, cv_dtype=jnp.float32)
+            direct = spatial_cost_volume(c, c + 0.0, r_, dilation_rate=dil,
+                                         num_cuts=cuts, cv_dtype=jnp.float32)
+            np.testing.assert_allclose(np.asarray(sym), np.asarray(direct),
+                                       rtol=1e-5, atol=1e-6)
+        g_sym = jax.grad(lambda x: (spatial_cost_volume(
+            x, x, 2, num_cuts=1, cv_dtype=jnp.float32) ** 2).sum())(c)
+        g_dir = jax.grad(lambda x: (spatial_cost_volume(
+            x, x + 0.0, 2, num_cuts=1, cv_dtype=jnp.float32) ** 2).sum())(c)
+        np.testing.assert_allclose(np.asarray(g_sym), np.asarray(g_dir),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestDSCV:
     def test_shapes(self):

@@ -121,7 +121,7 @@ def main():
             _, op, fl, line = info
             comp = fl.replace(".py", "")
             if fl == "cost_volume.py":
-                comp = "sncv" if line >= 420 else "dscv"
+                comp = "sncv" if line >= 381 else "dscv"
             agg[comp] += dur
         total = sum(per.values())
         print(f"device total {total:.0f} us/step")
