@@ -67,10 +67,12 @@ class ModelConfig:
     remat: bool = False               # rematerialize decoder levels in the
                                       # backward pass (trade FLOPs for HBM;
                                       # large frames / long windows)
-    time_axis: str = "scan"           # "scan": lax.scan over frames 1..T-1
-                                      # (O(1) trace/compile cost in T);
-                                      # "unroll": python loop (always used
-                                      # for T <= 2, where scan buys nothing)
+    time_axis: str = "auto"           # "auto": unroll T <= 4, scan beyond;
+                                      # "scan": lax.scan over frames 1..T-1
+                                      # (O(1) trace/compile cost in T, but
+                                      # ~2x slower train steps — scan blocks
+                                      # cross-frame fusion); "unroll": python
+                                      # loop (always used for T <= 2)
 
     @property
     def channels(self) -> Tuple[int, ...]:

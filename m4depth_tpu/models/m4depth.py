@@ -104,15 +104,21 @@ class M4Depth(nn.Module):
         (m4depth_network.py:278-323) with batch-synchronized resets.
         Initialize the model with T >= 2 so the refiner parameters exist.
 
-        The time axis is a ``lax.scan`` with the per-level ``LevelState``
-        tuple as carry (SURVEY.md §7): the trace/compile cost is one frame
-        body regardless of T, so long windows (db_seq_len 8, legacy seq 5)
-        compile as fast as T=2. Frame 0 runs outside the scan — its reset
-        path is a statically different computation. ``cfg.time_axis =
-        "unroll"`` keeps the python loop (debugging / tiny-T comparisons).
+        The time axis is either unrolled or a ``lax.scan`` with the
+        per-level ``LevelState`` tuple as carry (SURVEY.md §7). Scan keeps
+        trace/compile cost at one frame body regardless of T; unroll lets
+        XLA fuse across frame boundaries, which measures ~2x faster per
+        training step on v5e (258 vs 541 ms at the reference config,
+        b=3 T=4 384^2 d6 — DEVELOPMENT.md). Default "auto" unrolls short
+        windows (T <= 4, the reference training config) and scans longer
+        ones (db_seq_len 8, legacy seq 5) where unrolled compile time
+        becomes prohibitive. Frame 0 always runs outside the scan — its
+        reset path is a statically different computation.
         """
         T = rgb_seq.shape[1]
-        if self.cfg.time_axis == "unroll" or T <= 2:
+        unroll = {"auto": T <= 4, "unroll": True, "scan": False}[
+            self.cfg.time_axis]
+        if unroll or T <= 2:
             state: Optional[ModelState] = None
             outs: List[Pyramid] = []
             for t in range(T):

@@ -29,6 +29,7 @@ def main():
     p.add_argument("--sncv_impl", default="xla")
     p.add_argument("--chunk_bytes", type=int, default=30 << 20)
     p.add_argument("--size", type=int, default=384)
+    p.add_argument("--batch", type=int, default=1)
     p.add_argument("--levels", type=int, default=6)
     p.add_argument("--n", type=int, default=200)
     p.add_argument("--profile", action="store_true")
@@ -42,7 +43,7 @@ def main():
                       dscv_impl=a.dscv_impl, sncv_impl=a.sncv_impl,
                       dscv_chunk_bytes=a.chunk_bytes)
     model = M4Depth(cfg)
-    b, h, w = 1, a.size, a.size
+    b, h, w = a.batch, a.size, a.size
     rng = np.random.RandomState(0)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
@@ -58,8 +59,9 @@ def main():
 
     state = init_state(cfg, b, h, w)
     rgb = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
-    rot = jnp.array([[1.0, 0.001, -0.002, 0.0005]], jnp.float32)
-    trans = jnp.array([[0.05, 0.02, 0.4]], jnp.float32)
+    rot = jnp.tile(jnp.array([[1.0, 0.001, -0.002, 0.0005]], jnp.float32),
+                   (b, 1))
+    trans = jnp.tile(jnp.array([[0.05, 0.02, 0.4]], jnp.float32), (b, 1))
     f = jnp.full((b, 2), h / 2.0)
     c = jnp.full((b, 2), h / 2.0)
     go = jnp.zeros((b,), bool)
@@ -78,8 +80,8 @@ def main():
             state, depth = step(params, state, rgb, rot, trans, f, c, go)
         np.asarray(depth)
         best = min(best, time.perf_counter() - t0)
-    print(f"fps={a.n / best:.2f}  ms/frame={1e3 * best / a.n:.3f}  "
-          f"dscv={a.dscv_impl} sncv={a.sncv_impl} size={a.size}")
+    print(f"fps={a.n * b / best:.2f}  ms/step={1e3 * best / a.n:.3f}  "
+          f"batch={b} dscv={a.dscv_impl} sncv={a.sncv_impl} size={a.size}")
 
     if a.profile:
         import glob
