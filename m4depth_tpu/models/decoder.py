@@ -191,10 +191,14 @@ class DecoderLevel(nn.Module):
 
         para_prev_t = prev_depth_to_parallax(state.depth, rot, trans, camera)
         from m4depth_tpu.ops import cost_volume as _cv
+        center = self.cfg.search_range
         dscv = {
             "split": functools.partial(
                 _cv.parallax_sweeping_cv_split,
-                chunk_bytes=self.cfg.dscv_chunk_bytes),
+                chunk_bytes=self.cfg.dscv_chunk_bytes,
+                # the model only consumes the center hypothesis' warped
+                # parallax (parity: m4depth_network.py:238-241)
+                para_hyps=(center,)),
             "flat": _cv.parallax_sweeping_cv_flat,
             "expanded": parallax_sweeping_cv_expanded,
             "gather": parallax_sweeping_cv,
@@ -222,9 +226,11 @@ class DecoderLevel(nn.Module):
                 leaky_slope=self.cfg.leaky_slope,
             ))
         if abl.time_recurr:
-            center = self.cfg.search_range
+            # "split" returns only the center hypothesis (para_hyps above);
+            # the other impls return all 2r+1 with center at index r
+            c0 = 0 if self.cfg.dscv_impl == "split" else center
             inputs.append(log_safe(
-                para_reproj[..., center:center + 1] * self.lvl_mul))
+                para_reproj[..., c0:c0 + 1] * self.lvl_mul))
 
         f_input = jnp.concatenate(
             [x.astype(jnp.dtype(self.cfg.compute_dtype)) for x in inputs], axis=-1)

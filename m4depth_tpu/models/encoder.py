@@ -63,6 +63,40 @@ class DomainNorm(nn.Module):
                 + self.bias.astype(x.dtype)).astype(self.dtype)
 
 
+class FirstConv(nn.Module):
+    """3x3 stride-1 conv on the 3-channel input, as shifts + 1x1 matmul.
+
+    A direct conv with C_in=3 lane-starves the TPU (XLA pads 3 -> 8/128
+    lanes and inserts an im2col relayout, ~170 us at 384^2). Concatenating
+    the 9 static shifts (27 channels) and contracting with the SAME [3,3,3,C]
+    kernel reshaped to [27, C] is mathematically identical (zero 'SAME'
+    padding == zero-filled shifts), keeps the checkpoint layout, and rides
+    the MXU as one matmul.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (3, 3, 3, self.features), jnp.float32)
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, cin = x.shape
+        pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        shifts = jnp.concatenate(
+            [pad[:, dy:dy + h, dx:dx + w, :]
+             for dy in range(3) for dx in range(3)], axis=-1)
+        k = self.kernel.reshape(9 * cin, self.features).astype(self.dtype)
+        out = jax.lax.dot_general(
+            shifts.astype(self.dtype), k, (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (out + self.bias).astype(self.dtype)
+
+
 class Encoder(nn.Module):
     cfg: ModelConfig
 
@@ -70,8 +104,9 @@ class Encoder(nn.Module):
         dtype = jnp.dtype(self.cfg.compute_dtype)
         init = nn.initializers.he_normal()
         self.convs_s1 = [
-            nn.Conv(ch, (3, 3), strides=(1, 1), padding="SAME",
-                    kernel_init=init, dtype=dtype, name=f"conv_s1_{i}")
+            (FirstConv(ch, dtype=dtype, name=f"conv_s1_{i}") if i == 0 else
+             nn.Conv(ch, (3, 3), strides=(1, 1), padding="SAME",
+                     kernel_init=init, dtype=dtype, name=f"conv_s1_{i}"))
             for i, ch in enumerate(self.cfg.channels)
         ]
         self.convs_s2 = [

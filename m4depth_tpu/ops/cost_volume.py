@@ -12,7 +12,7 @@ TPU-first formulation notes:
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -243,8 +243,14 @@ def parallax_sweeping_cv_split(
     cv_dtype: jnp.dtype = jnp.bfloat16,
     n_chunks: int = 0,
     chunk_bytes: int = 60 << 20,
+    para_hyps: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expanded-shift DSCV with the fetch split into dx-chunks.
+
+    ``para_hyps``: optionally restrict the returned warped-parallax channels
+    to these hypothesis indices (the model only consumes the center one,
+    m4depth_network.py:238-241) — skips most of the parallax weight
+    contraction. None returns all 2r+1 (parity with the other impls).
 
     Same math as :func:`parallax_sweeping_cv_expanded` (v2 flat form), but
     the expanded map and its per-pixel row fetch are split into ``n_chunks``
@@ -320,11 +326,15 @@ def parallax_sweeping_cv_split(
 
     t1 = (corr[:, :, None] * wy[:, :, :, None, :, None]).sum(axis=4)
     cv = (t1 * wx[..., None]).sum(axis=3)
-    p1 = (para_patch[:, :, None] * wy[:, :, :, None]).sum(axis=-1)
-    para_w = (p1 * wx).sum(axis=-1)
+    wxp, wyp = wx, wy
+    if para_hyps is not None:
+        ks = list(para_hyps)
+        wxp, wyp = wx[:, :, ks], wy[:, :, ks]
+    p1 = (para_patch[:, :, None] * wyp[:, :, :, None]).sum(axis=-1)
+    para_w = (p1 * wxp).sum(axis=-1)
 
     cv = cv.transpose(0, 1, 3, 2).reshape(b, h, w, num_cuts * s)
-    para_w = para_w.reshape(b, h, w, s)
+    para_w = para_w.reshape(b, h, w, -1)
     return cv.astype(jnp.float32), para_w.astype(jnp.float32)
 
 
