@@ -198,13 +198,17 @@ def _dscv_inputs(b=2, h=10, w=12, C=8, seed=12):
 @pytest.mark.parametrize("impl,cv_dtype,tol", [
     ("gather", "float16", 2e-3),    # fp16 matches the reference's hardcoded cast
     ("expanded", "float32", 3e-3),  # fp32 vs the reference's fp16 floor
+    ("split", "float32", 3e-3),     # the chunked production default
 ])
 def test_dscv_vs_reference(ref, impl, cv_dtype, tol):
+    import functools
+
     import jax.numpy as jnp
 
     from m4depth_tpu.ops.cost_volume import (
         parallax_sweeping_cv,
         parallax_sweeping_cv_expanded,
+        parallax_sweeping_cv_split,
     )
 
     b, h, w, C = 2, 10, 12, 8
@@ -216,8 +220,11 @@ def test_dscv_vs_reference(ref, impl, cv_dtype, tol):
         ref.tf.constant(c1), ref.tf.constant(c2), ref.tf.constant(ppt),
         ref.tf.constant(center), ref.tf.constant(quat),
         ref.tf.constant(trans), cam_tf, 4, nbre_cuts=cuts)
-    fn = (parallax_sweeping_cv_expanded if impl == "expanded"
-          else parallax_sweeping_cv)
+    fn = {
+        "expanded": parallax_sweeping_cv_expanded,
+        "gather": parallax_sweeping_cv,
+        "split": functools.partial(parallax_sweeping_cv_split, n_chunks=3),
+    }[impl]
     got_cv, got_prev = fn(c1, c2, ppt, center, quat, trans, cam, 4,
                           num_cuts=cuts, cv_dtype=jnp.dtype(cv_dtype))
     np.testing.assert_allclose(np.asarray(got_cv), exp_cv.numpy(),

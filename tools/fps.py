@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Quick model-level fps benchmark with config overrides (real TPU).
 
-Usage: python tools/fps.py [--dscv_impl v4] [--sncv_impl xla] [--size 384]
+Usage: python tools/fps.py [--dscv_impl split] [--sncv_impl xla] [--size 384]
        [--profile]  (adds a per-component breakdown via jax.profiler)
 """
 

@@ -38,6 +38,8 @@ def main():
                         "no hard gate).")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--size", type=int, default=64)
+    p.add_argument("--T", type=int, default=2,
+                   help="frames per training window (reference trains T=4)")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--pool", type=int, default=320,
                    help="pregenerated training batches (cycled)")
@@ -71,7 +73,7 @@ def main():
 
     h = w = a.size
     train_ds = SyntheticGeometricDataset(
-        n_batches=a.pool, batch_size=a.batch, T=2, h=h, w=w, seed=0)
+        n_batches=a.pool, batch_size=a.batch, T=a.T, h=h, w=w, seed=0)
 
     def to_jnp(b):
         return {k: jnp.asarray(v) for k, v in b.items() if k != "new_traj"}
@@ -90,7 +92,7 @@ def main():
 
         def render(seed):
             rng = np.random.RandomState(seed)
-            seqs = [make_sequence(rng, 2, h, w) for _ in range(a.batch)]
+            seqs = [make_sequence(rng, a.T, h, w) for _ in range(a.batch)]
             return to_jnp({
                 "rgb": np.stack([s["RGB_im"] for s in seqs]),
                 "depth": np.stack([s["depth"] for s in seqs]),
@@ -146,7 +148,7 @@ def main():
         eval_ds = train_ds   # the gate: near-zero error on the fitted batch
     else:
         eval_ds = SyntheticGeometricDataset(
-            n_batches=8, batch_size=a.batch, T=2, h=h, w=w, seed=7777)
+            n_batches=8, batch_size=a.batch, T=a.T, h=h, w=w, seed=7777)
 
     @jax.jit
     def eval_batch(params, batch):
