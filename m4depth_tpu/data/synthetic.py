@@ -185,6 +185,10 @@ class SyntheticGeometricDataset:
         self.w = w
         self.seed = seed
 
+    def __len__(self) -> int:
+        """Batches per epoch (the train loop's steps_per_epoch)."""
+        return self.n_batches
+
     def batches(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         for i in range(self.n_batches):
             rng = np.random.RandomState(
