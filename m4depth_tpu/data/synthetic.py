@@ -83,11 +83,18 @@ class _PlaneTexture:
         self.amp = 0.42 * amp / amp.sum(axis=1, keepdims=True)  # sum<=0.42
 
     def __call__(self, points: np.ndarray) -> np.ndarray:
-        """points [..., 3] -> rgb [..., 3] in (0, 1)."""
-        # phase_full [..., 3, n]
-        ph = np.einsum("...k,cnk->...cn", points, self.k) + self.phase
-        rgb = 0.5 + (self.amp * np.sin(ph)).sum(axis=-1)
-        return np.clip(rgb, 0.02, 0.98)
+        """points [..., 3] -> rgb [..., 3] in (0, 1).
+
+        Evaluated in float32 with one flat matmul: the renderer is the
+        training-throughput bottleneck for infinite-stream runs (f64
+        einsum+sin measured ~0.8 s per 4-frame 384^2 sequence).
+        """
+        flat = points.reshape(-1, 3).astype(np.float32)
+        kmat = self.k.reshape(-1, 3).T.astype(np.float32)     # [3, 3*n]
+        ph = flat @ kmat + self.phase.reshape(-1).astype(np.float32)
+        rgb = 0.5 + (np.sin(ph) * self.amp.reshape(1, -1).astype(np.float32)
+                     ).reshape(flat.shape[0], 3, -1).sum(axis=-1)
+        return np.clip(rgb, 0.02, 0.98).reshape(points.shape[:-1] + (3,))
 
 
 def make_sequence(rng: np.random.RandomState, T: int, h: int, w: int) -> Dict[str, np.ndarray]:
@@ -125,22 +132,26 @@ def make_sequence(rng: np.random.RandomState, T: int, h: int, w: int) -> Dict[st
                          rng.uniform(-0.15, 0.35)])
         pos.append(pos[-1] + _quat_to_mat(quats[-2]) @ step)
 
-    # pixel rays (camera frame), shared across frames
-    us = (np.arange(w) + 0.5 - c[0]) / f[0]
-    vs = (np.arange(h) + 0.5 - c[1]) / f[1]
+    # pixel rays (camera frame), shared across frames; the ray-cast runs in
+    # f32 — the renderer gates infinite-stream training throughput on
+    # single-core hosts (precision is micro-pixel scale, far below the
+    # photometric-consistency tolerance)
+    us = ((np.arange(w) + 0.5 - c[0]) / f[0]).astype(np.float32)
+    vs = ((np.arange(h) + 0.5 - c[1]) / f[1]).astype(np.float32)
     rays = np.stack([np.broadcast_to(us[None, :], (h, w)),
                      np.broadcast_to(vs[:, None], (h, w)),
-                     np.ones((h, w))], axis=-1)           # [h, w, 3]
+                     np.ones((h, w), np.float32)], axis=-1)  # [h, w, 3]
+    normal32 = normal.astype(np.float32)
 
-    rgb_seq, depth_seq, rot_seq, trans_seq = [], [], [], []
+    points_seq, rgb_seq, depth_seq, rot_seq, trans_seq = [], [], [], [], []
     for t in range(T):
-        R_wt = _quat_to_mat(quats[t])
+        R_wt = _quat_to_mat(quats[t]).astype(np.float32)
         dirs = rays @ R_wt.T                              # world ray dirs
-        denom = dirs @ normal                             # bounded below ~0.5
-        s = (plane_d - normal @ pos[t]) / denom           # [h, w] = depth
-        points = pos[t][None, None, :] + dirs * s[..., None]
-        rgb_seq.append(texture(points).astype(np.float32))
-        depth_seq.append(s[..., None].astype(np.float32))
+        denom = dirs @ normal32                           # bounded below ~0.5
+        s = np.float32(plane_d - normal @ pos[t]) / denom  # [h, w] = depth
+        points_seq.append(pos[t].astype(np.float32)[None, None, :]
+                          + dirs * s[..., None])
+        depth_seq.append(s[..., None])
 
         if t == 0:
             rot_seq.append(np.array([1.0, 0, 0, 0], dtype=np.float32))
@@ -153,12 +164,13 @@ def make_sequence(rng: np.random.RandomState, T: int, h: int, w: int) -> Dict[st
             rot_seq.append(q_rel.astype(np.float32))
             trans_seq.append(t_rel.astype(np.float32))
 
+    rgb_seq = texture(np.stack(points_seq))               # one call for all T
     depth = np.stack(depth_seq)
     assert depth.min() > 1.0 and depth.max() < 100.0, (
         "synthetic scene out of depth bounds: "
         f"[{depth.min():.2f}, {depth.max():.2f}]")
     return {
-        "RGB_im": np.stack(rgb_seq),
+        "RGB_im": np.ascontiguousarray(rgb_seq),
         "depth": depth,
         "rot": np.stack(rot_seq),
         "trans": np.stack(trans_seq),
