@@ -53,6 +53,14 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--summary_interval", default=1200, type=int)
     g.add_argument("--save_interval", default=2, type=int)
     g.add_argument("--no_augmentation", default=False, action="store_true")
+    # accepted for 1:1 reference-script compatibility; both are vestigial
+    # there too (conf_err_rate is declared but never consumed,
+    # m4depth_options.py:51; disable_xla toggles a TF env flag with no JAX
+    # equivalent — everything here is jit-compiled)
+    g.add_argument("--conf_err_rate", default=0.05, type=float,
+                   help=argparse.SUPPRESS)
+    g.add_argument("--disable_xla", default=False, action="store_true",
+                   help=argparse.SUPPRESS)
     g.add_argument("--enable_validation", default=False, action="store_true")
     g.add_argument("--keep_top_n", default=1, type=int)
     # Ablations

@@ -35,6 +35,8 @@ from m4depth_tpu.models.encoder import leaky_relu
 from m4depth_tpu.ops.cost_volume import (
     parallax_sweeping_cv,
     parallax_sweeping_cv_expanded,
+    parallax_sweeping_cv_flat,
+    parallax_sweeping_cv_split,
     spatial_cost_volume,
 )
 
@@ -190,16 +192,15 @@ class DecoderLevel(nn.Module):
         prev_p = prep_features(state.f_maps, cuts, abl.normalize_features)
 
         para_prev_t = prev_depth_to_parallax(state.depth, rot, trans, camera)
-        from m4depth_tpu.ops import cost_volume as _cv
         center = self.cfg.search_range
         dscv = {
             "split": functools.partial(
-                _cv.parallax_sweeping_cv_split,
+                parallax_sweeping_cv_split,
                 chunk_bytes=self.cfg.dscv_chunk_bytes,
                 # the model only consumes the center hypothesis' warped
                 # parallax (parity: m4depth_network.py:238-241)
                 para_hyps=(center,)),
-            "flat": _cv.parallax_sweeping_cv_flat,
+            "flat": parallax_sweeping_cv_flat,
             "expanded": parallax_sweeping_cv_expanded,
             "gather": parallax_sweeping_cv,
         }[self.cfg.dscv_impl]

@@ -455,3 +455,55 @@ def test_streaming_eval_parity(ref, ported_setup):
             err_msg=f"streaming depth mismatch at frame {t}")
         rel = np.abs(got - ref_depths[t]) / (np.abs(ref_depths[t]) + 1e-6)
         assert np.median(rel) < 2e-3, f"frame {t}: median rel {np.median(rel)}"
+
+
+# ------------------------------------------------- augmentation cross-check
+class _ForcedRng:
+    """Stands in for RandomState: forces augmentation branch decisions."""
+
+    def __init__(self, vals):
+        self.vals = list(vals)
+
+    def uniform(self, *a, **k):
+        return self.vals.pop(0)
+
+
+@pytest.mark.parametrize("which", ["vflip", "hflip", "transpose"])
+def test_flip_augmentation_vs_reference_geometry(ref, which):
+    """Our flip/transpose augmentations (quaternion/translation/principal-
+    point fixups, generic.py:215-259, midair.py:75-89) must keep an
+    analytically consistent scene photometrically consistent under the
+    REFERENCE's own reproject+warp — a cross-system check that does not
+    rely on this repo's geometry ops."""
+    from m4depth_tpu.data.augment import flip_augment, transpose_augment
+    from m4depth_tpu.data.synthetic import make_sequence
+
+    h = w = 48
+    seq = make_sequence(np.random.RandomState(5), 2, h, w)
+    data = {
+        "RGB_im": seq["RGB_im"].copy(),
+        "depth": seq["depth"].copy(),
+        "rot": seq["rot"].copy(),
+        "trans": seq["trans"].copy(),
+        "camera_f": seq["camera_f"].copy(),
+        "camera_c": seq["camera_c"].copy(),
+    }
+    if which == "vflip":
+        data = flip_augment(data, _ForcedRng([0.0, 1.0]))
+    elif which == "hflip":
+        data = flip_augment(data, _ForcedRng([1.0, 0.0]))
+    else:
+        data = transpose_augment(data, _ForcedRng([0.0]))
+
+    tf = ref.tf
+    cam_tf = {"f": tf.constant(data["camera_f"][None]),
+              "c": tf.constant(data["camera_c"][None])}
+    warped, _ = ref.depth_ops.reproject(
+        tf.constant(data["RGB_im"][0][None]),
+        tf.constant(data["depth"][1][None]),
+        tf.constant(data["rot"][1][None]),
+        tf.constant(data["trans"][1][None]),
+        cam_tf)
+    err = np.abs(warped.numpy()[0, 6:-6, 6:-6]
+                 - data["RGB_im"][1][6:-6, 6:-6]).mean()
+    assert err < 0.015, f"{which}: reference-warp inconsistency {err:.4f}"
