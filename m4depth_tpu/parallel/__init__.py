@@ -1,3 +1,9 @@
+from m4depth_tpu.parallel.serving import (
+    jit_sharded_stream,
+    shard_stream_inputs,
+    replicate_params,
+    assert_collective_free,
+)
 from m4depth_tpu.parallel.mesh import (
     make_mesh,
     make_hybrid_mesh,
@@ -10,6 +16,10 @@ from m4depth_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "jit_sharded_stream",
+    "shard_stream_inputs",
+    "replicate_params",
+    "assert_collective_free",
     "make_mesh",
     "make_hybrid_mesh",
     "distributed_init",

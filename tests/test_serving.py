@@ -1,0 +1,90 @@
+"""Sharded multi-stream inference: parity with single-device streaming and
+zero cross-device communication (legacy tower-replicated evaluator parity,
+.legacy/multi_gpu_pipeline/feedforward_pipeline.py:258-320)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from m4depth_tpu.config import ModelConfig
+from m4depth_tpu.geometry import Camera
+from m4depth_tpu.models import M4Depth, init_state
+from m4depth_tpu.parallel import (
+    assert_collective_free,
+    jit_sharded_stream,
+    make_mesh,
+    replicate_params,
+    shard_stream_inputs,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(num_levels=3, compute_dtype="float32",
+                      cv_dtype="float32")
+    model = M4Depth(cfg)
+    b, h, w = 8, 32, 32
+    rng = np.random.RandomState(0)
+    rgb = [jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+           for _ in range(3)]
+    rot = jnp.tile(jnp.array([[1.0, 0.002, -0.001, 0.0]], jnp.float32),
+                   (b, 1))
+    trans = jnp.tile(jnp.array([[0.08, 0.02, 0.3]], jnp.float32), (b, 1))
+    cam = Camera(f=jnp.full((b, 2), 16.0), c=jnp.full((b, 2), 16.0))
+    params = model.init(
+        jax.random.PRNGKey(0), rgb[0][:, None].repeat(2, 1),
+        jnp.tile(rot[:, None], (1, 2, 1)), jnp.tile(trans[:, None], (1, 2, 1)),
+        cam)
+    return cfg, model, params, rgb, rot, trans, cam, (b, h, w)
+
+
+def _run_single(model, params, rgb_frames, rot, trans, cam, cfg, bhw):
+    b, h, w = bhw
+    state = init_state(cfg, b, h, w)
+    outs = []
+    for t, rgb in enumerate(rgb_frames):
+        new_traj = jnp.full((b,), t == 0)
+        state, depth = model.apply(params, state, rgb, rot, trans, cam,
+                                   new_traj, method=M4Depth.step)
+        outs.append(np.asarray(depth))
+    return outs
+
+
+def test_sharded_streams_match_single_device(setup):
+    cfg, model, params, rgb, rot, trans, cam, bhw = setup
+    b, h, w = bhw
+    expected = _run_single(model, params, rgb, rot, trans, cam, cfg, bhw)
+
+    mesh = make_mesh((len(jax.devices()),), ("data",))
+    step = jit_sharded_stream(model, mesh)
+    p = replicate_params(params, mesh)
+    state = shard_stream_inputs(init_state(cfg, b, h, w), mesh)
+    for t, frame in enumerate(rgb):
+        inputs = shard_stream_inputs(
+            (frame, rot, trans, cam, jnp.full((b,), t == 0)), mesh)
+        state, depth = step(p, state, *inputs)
+        got = np.asarray(depth)
+        # the sharded step is a different XLA compilation (different fusion
+        # order); the temporal recurrence amplifies the resulting ~1e-7 f32
+        # noise over frames, so judge with a recurrence-appropriate tolerance
+        np.testing.assert_allclose(got, expected[t], rtol=2e-3, atol=2e-3,
+                                   err_msg=f"frame {t}")
+        rel = np.abs(got - expected[t]) / (np.abs(expected[t]) + 1e-6)
+        assert np.median(rel) < 1e-5, f"frame {t}: median {np.median(rel)}"
+        # every device owns exactly b/n streams of the state
+        leaf = jax.tree_util.tree_leaves(state)[0]
+        assert len(leaf.sharding.device_set) == len(jax.devices())
+
+
+def test_sharded_stream_step_is_collective_free(setup):
+    cfg, model, params, rgb, rot, trans, cam, bhw = setup
+    b, h, w = bhw
+    mesh = make_mesh((len(jax.devices()),), ("data",))
+    step = jit_sharded_stream(model, mesh, donate_state=False)
+    p = replicate_params(params, mesh)
+    state = shard_stream_inputs(init_state(cfg, b, h, w), mesh)
+    inputs = shard_stream_inputs(
+        (rgb[0], rot, trans, cam, jnp.full((b,), True)), mesh)
+    compiled = step.lower(p, state, *inputs).compile()
+    assert_collective_free(compiled)
