@@ -76,6 +76,7 @@ class FirstConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    stride: int = 1
 
     def setup(self):
         self.kernel = self.param(
@@ -86,9 +87,16 @@ class FirstConv(nn.Module):
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, cin = x.shape
-        pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        s = self.stride
+        if s == 1:
+            pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            ho, wo = h, w
+        else:
+            # TF-style 'SAME' for stride 2, kernel 3, even input: pad (0, 1)
+            pad = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+            ho, wo = h // s, w // s
         shifts = jnp.concatenate(
-            [pad[:, dy:dy + h, dx:dx + w, :]
+            [pad[:, dy:dy + s * ho:s, dx:dx + s * wo:s, :]
              for dy in range(3) for dx in range(3)], axis=-1)
         k = self.kernel.reshape(9 * cin, self.features).astype(self.dtype)
         out = jax.lax.dot_general(

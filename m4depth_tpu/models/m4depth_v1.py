@@ -62,9 +62,15 @@ class EncoderV1(nn.Module):
     def setup(self):
         dtype = jnp.dtype(self.cfg.compute_dtype)
         init = nn.initializers.he_normal()
+        from m4depth_tpu.models.encoder import FirstConv
+
+        # level 0 sees the 3-channel input: the shifts+matmul form avoids
+        # the lane-starved direct conv (see FirstConv)
         self.convs_s2 = [
-            nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME",
-                    kernel_init=init, dtype=dtype, name=f"conv_s2_{i}")
+            (FirstConv(c, dtype=dtype, stride=2, name=f"conv_s2_{i}")
+             if i == 0 else
+             nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME",
+                     kernel_init=init, dtype=dtype, name=f"conv_s2_{i}"))
             for i, c in enumerate(self.cfg.channels)
         ]
         self.convs_s1 = [
