@@ -51,6 +51,7 @@ def build_dataset(cmd, usecase: str, db_paths: dict, batch_size: int,
             seq_len=cmd.seq_len,
             batch_size=batch_size,
             augment=not cmd.no_augmentation,
+            seed=getattr(cmd, "seed", 42),
             num_workers=cmd.num_workers,
         )
     return SequenceDataset(
@@ -63,6 +64,7 @@ def build_dataset(cmd, usecase: str, db_paths: dict, batch_size: int,
         batch_size=batch_size,
         augment=not cmd.no_augmentation,
         out_size=cmd.out_size,
+        seed=getattr(cmd, "seed", 42),
         num_workers=cmd.num_workers,
     )
 

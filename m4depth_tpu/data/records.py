@@ -39,9 +39,10 @@ _STORE_DTYPES = {
 def _encode_frame(frame: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     out = {}
     for k, v in frame.items():
-        if k == "new_traj":
-            continue
         v = np.asarray(v)
+        if k == "new_traj":
+            out[k] = v.astype(np.bool_)
+            continue
         if k == "RGB_im":
             v = np.clip(v * 255.0 + 0.5, 0, 255).astype(np.uint8)
         elif k in _STORE_DTYPES:
@@ -55,6 +56,8 @@ def _decode_frame(stored: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     for k, v in stored.items():
         if k == "RGB_im":
             out[k] = v.astype(np.float32) / 255.0
+        elif k == "new_traj":
+            out[k] = v
         else:
             out[k] = v.astype(np.float32)
     return out
@@ -106,11 +109,14 @@ class RecordStoreWriter:
         self._next += 1
         f = self.files[shard]
         offset = f.tell()
+        frame_offsets = []
         for frame in frames:
+            frame_offsets.append(f.tell() - offset)
             f.write(_pack_record(_encode_frame(frame)))
         self.index.append({
             "name": name, "shard": shard, "offset": offset,
             "length": f.tell() - offset, "num_frames": len(frames),
+            "frame_offsets": frame_offsets,
         })
 
     def close(self) -> None:
@@ -178,12 +184,19 @@ class RecordTrajectoryReader:
                     ) -> List[Dict[str, np.ndarray]]:
         meta = self.trajectories[ti]
         buf = memoryview(self._mmaps[meta["shard"]])
-        pos = meta["offset"]
+        offsets = meta.get("frame_offsets")
         frames = []
-        for i in range(start + count):
-            arrays, pos = _unpack_record(buf, pos)
-            if i >= start:
+        if offsets is not None:                 # O(count) via the index
+            pos = meta["offset"] + offsets[start]
+            for _ in range(count):
+                arrays, pos = _unpack_record(buf, pos)
                 frames.append(_decode_frame(arrays))
+        else:                                   # legacy store: scan
+            pos = meta["offset"]
+            for i in range(start + count):
+                arrays, pos = _unpack_record(buf, pos)
+                if i >= start:
+                    frames.append(_decode_frame(arrays))
         return frames
 
 
@@ -203,6 +216,10 @@ class RecordSequenceDataset:
         self.adapter = adapter
         self.usecase = usecase
         self.train_like = usecase in ("train", "finetune")
+        if self.train_like and (db_seq_len is None or db_seq_len < seq_len):
+            raise ValueError(
+                "training from a record store requires db_seq_len >= "
+                f"seq_len (got db_seq_len={db_seq_len}, seq_len={seq_len})")
         self.db_seq_len = db_seq_len
         self.seq_len = seq_len if self.train_like else (db_seq_len or 1)
         self.batch_size = batch_size if self.train_like else 1
@@ -255,8 +272,17 @@ class RecordSequenceDataset:
             seq["new_traj"] = np.array(
                 [i == 0 for i in range(self.seq_len)], bool)
         else:
+            # honor per-frame trajectory breaks recorded from the manifest
+            # (SequenceDataset parity, pipeline.py eval path); frame 0 of a
+            # stored trajectory always starts one
             seq["new_traj"] = np.array(
-                [start + i == 0 for i in range(self.seq_len)], bool)
+                [bool(f.get("new_traj", False)) or (start + i == 0)
+                 for i, f in enumerate(frames)], bool)
+        if (self.usecase == "eval" and self.adapter is not None
+                and hasattr(self.adapter, "eval_crop_mask")):
+            # stores are decoded with the train usecase; the eval protocol
+            # crop (Garg/Eigen, kitti.py:14-20) is applied at read time
+            seq["depth"] = seq["depth"] * self.adapter.eval_crop_mask()
         if self.augment:
             seq = self.adapter.augment_sequence(seq, rng, self.usecase)
         return seq

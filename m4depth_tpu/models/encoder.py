@@ -88,15 +88,18 @@ class FirstConv(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, cin = x.shape
         s = self.stride
-        if s == 1:
-            pad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-            ho, wo = h, w
-        else:
-            # TF-style 'SAME' for stride 2, kernel 3, even input: pad (0, 1)
-            pad = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-            ho, wo = h // s, w // s
+
+        def same_pad(n):
+            # TF-style 'SAME': out = ceil(n/s), pad split before/after
+            out = -(-n // s)
+            total = max(0, (out - 1) * s + 3 - n)
+            return out, (total // 2, total - total // 2)
+
+        ho, (pt, pb) = same_pad(h)
+        wo, (pl, pr) = same_pad(w)
+        pad = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
         shifts = jnp.concatenate(
-            [pad[:, dy:dy + s * ho:s, dx:dx + s * wo:s, :]
+            [pad[:, dy:dy + s * (ho - 1) + 1:s, dx:dx + s * (wo - 1) + 1:s, :]
              for dy in range(3) for dx in range(3)], axis=-1)
         k = self.kernel.reshape(9 * cin, self.features).astype(self.dtype)
         out = jax.lax.dot_general(

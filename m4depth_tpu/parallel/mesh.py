@@ -109,5 +109,13 @@ def shard_batch_pytree(batch, mesh: Mesh, axis=None):
 
 def host_shard_indices(n_items: int) -> slice:
     """This host's strided share of a dataset index space (per-host manifest
-    sharding: host i reads windows i, i+P, i+2P, ...)."""
-    return slice(jax.process_index(), n_items, max(jax.process_count(), 1))
+    sharding: host i reads windows i, i+P, i+2P, ...).
+
+    Every host gets exactly ``n_items // P`` windows — the remainder is
+    dropped. Unequal shards would give hosts different steps_per_epoch and
+    deadlock the first collective the shorter host never joins.
+    """
+    p = max(jax.process_count(), 1)
+    per_host = n_items // p
+    i = jax.process_index()
+    return slice(i, i + per_host * p, p)

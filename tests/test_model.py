@@ -232,3 +232,26 @@ class TestTraining:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0] * 0.7, losses
+
+
+class TestFirstConv:
+    @pytest.mark.parametrize("stride,hw", [(1, (15, 17)), (2, (15, 17)),
+                                           (2, (16, 18)), (1, (9, 8))])
+    def test_matches_nn_conv(self, stride, hw):
+        """The shifts+matmul first conv must equal a flax 3x3 'SAME' conv
+        with the identical [3,3,3,C] parameters, odd sizes included."""
+        import flax.linen as nn
+
+        from m4depth_tpu.models.encoder import FirstConv
+
+        h, w = hw
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, h, w, 3).astype(np.float32))
+        fc = FirstConv(8, stride=stride)
+        params = fc.init(jax.random.PRNGKey(0), x)
+        conv = nn.Conv(8, (3, 3), strides=(stride, stride), padding="SAME")
+        got = fc.apply(params, x)
+        expected = conv.apply({"params": dict(params["params"])}, x)
+        assert got.shape == expected.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-5)

@@ -158,3 +158,18 @@ def test_host_shard_indices_partition():
     sl = host_shard_indices(len(items))
     # single-process: the full set
     assert items[sl] == items
+
+
+def test_host_shard_indices_equal_lengths(monkeypatch):
+    """Hosts must get EQUAL window counts (unequal steps_per_epoch would
+    deadlock the first collective the shorter host never joins)."""
+    import m4depth_tpu.parallel.mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    items = list(range(11))
+    shards = []
+    for i in range(2):
+        monkeypatch.setattr(mesh_mod.jax, "process_index", lambda i=i: i)
+        shards.append(items[mesh_mod.host_shard_indices(len(items))])
+    assert len(shards[0]) == len(shards[1]) == 5
+    assert not set(shards[0]) & set(shards[1])

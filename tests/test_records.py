@@ -121,3 +121,75 @@ class TestRecordStore:
         assert batch["depth"].shape == (2, 4, 8, 8, 1)
         np.testing.assert_array_equal(
             batch["new_traj"], [[True, False, False, False]] * 2)
+
+
+class TestRound2Fixes:
+    def test_store_preserves_trajectory_breaks(self, tmp_path):
+        """Mid-manifest trajectory breaks must survive the store and reset
+        streaming-eval state (they used to be reconstructed as start==0)."""
+        rng = np.random.RandomState(1)
+        frames = make_frames(rng, 6)
+        frames[3]["new_traj"] = True  # a break in the middle
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=1)
+        writer.write_trajectory(frames, name="t0")
+        writer.close()
+
+        ds = RecordSequenceDataset(str(tmp_path / "store"), usecase="eval",
+                                   db_seq_len=None, num_workers=1)
+        flags = [bool(b["new_traj"][0]) for b in ds.frames()]
+        assert flags == [True, False, False, True, False, False]
+
+    def test_frame_offsets_make_reads_random_access(self, tmp_path):
+        rng = np.random.RandomState(2)
+        frames = make_frames(rng, 7)
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=1)
+        writer.write_trajectory(frames, name="t0")
+        writer.close()
+        reader = RecordTrajectoryReader(str(tmp_path / "store"))
+        meta = reader.trajectories[0]
+        assert len(meta["frame_offsets"]) == 7
+        # O(count) path must agree with the legacy scan path
+        fast = reader.read_frames(0, 4, 2)
+        meta_no_off = dict(meta)
+        meta_no_off.pop("frame_offsets")
+        reader.trajectories[0] = meta_no_off
+        slow = reader.read_frames(0, 4, 2)
+        for a, b in zip(fast, slow):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+
+    def test_train_requires_db_seq_len(self, tmp_path):
+        rng = np.random.RandomState(3)
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=1)
+        writer.write_trajectory(make_frames(rng, 4), name="t0")
+        writer.close()
+        with pytest.raises(ValueError, match="db_seq_len"):
+            RecordSequenceDataset(str(tmp_path / "store"), usecase="train",
+                                  db_seq_len=None)
+        with pytest.raises(ValueError, match="db_seq_len"):
+            RecordSequenceDataset(str(tmp_path / "store"), usecase="train",
+                                  db_seq_len=2, seq_len=4)
+
+    def test_eval_crop_applied_at_read(self, tmp_path):
+        """KITTI stores are written with train decoding; the Garg/Eigen crop
+        must still gate eval depth when reading."""
+        rng = np.random.RandomState(4)
+
+        class CroppingAdapter:
+            depth_type = "velodyne"
+
+            def eval_crop_mask(self):
+                m = np.zeros((8, 8, 1), np.float32)
+                m[2:6, 1:7] = 1.0
+                return m
+
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=1)
+        writer.write_trajectory(make_frames(rng, 2), name="t0")
+        writer.close()
+        ds = RecordSequenceDataset(str(tmp_path / "store"),
+                                   adapter=CroppingAdapter(), usecase="eval",
+                                   db_seq_len=2, augment=False, num_workers=1)
+        batch = next(ds.batches())
+        depth = batch["depth"]
+        assert np.all(depth[:, :, :2] == 0) and np.all(depth[:, :, 6:] == 0)
+        assert np.any(depth[:, :, 2:6, 1:7] > 0)
