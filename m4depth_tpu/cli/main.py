@@ -112,7 +112,19 @@ class SubprocessValidator:
             f"--keep_top_n={cmd.keep_top_n}",
             f"--validation_max_batches="
             f"{getattr(cmd, 'validation_max_batches', 0)}",
-        ]
+            # the child must rebuild the SAME model or its checkpoint
+            # restore fails: forward every model-config flag
+            f"--model={getattr(cmd, 'model', 'm4depth')}",
+            f"--compute_dtype={cmd.compute_dtype}",
+            f"--cv_dtype={getattr(cmd, 'cv_dtype', 'bfloat16')}",
+            f"--dscv_impl={getattr(cmd, 'dscv_impl', 'split')}",
+            f"--sncv_impl={getattr(cmd, 'sncv_impl', 'xla')}",
+        ] + [f"--{flag}" for flag in (
+            "no_DINL", "no_SNCV", "no_time_recurr",
+            "no_feature_normalization", "no_feature_subdivision",
+            "no_level_memory") if getattr(cmd, flag, False)]
+        self._log_path = os.path.join(cmd.ckpt_dir,
+                                      "validation-subprocess.log")
 
     @property
     def busy(self) -> bool:
@@ -131,9 +143,12 @@ class SubprocessValidator:
             print("validation subprocess still running; skipping this epoch",
                   flush=True)
             return None
+        log_path = getattr(self, "_log_path", None)
+        log = open(log_path, "ab") if log_path else self._subprocess.DEVNULL
         self._child = self._subprocess.Popen(
-            self.args, env=self.env,
-            stdout=self._subprocess.DEVNULL, stderr=self._subprocess.DEVNULL)
+            self.args, env=self.env, stdout=log, stderr=log)
+        if log_path:
+            log.close()  # the child holds its own descriptor
         self.spawned += 1
         return None  # perfs land in the ledger asynchronously
 
@@ -160,7 +175,9 @@ def make_validation_fn(cmd, model, db_paths):
             get_adapter("kitti-raw"), db_paths.get("kitti-raw", ""),
             val_records, usecase="eval", db_seq_len=4, seq_len=4,
             batch_size=1, augment=False, num_workers=cmd.num_workers)
-        metrics = evaluate(model, params, ds)
+        metrics = evaluate(
+            model, params, ds,
+            max_steps=getattr(cmd, "validation_max_batches", 0))
         line = "\t\t".join(format(metrics[k], ".4f") for k in
                            ("AbsRel", "SqRel", "RMSE", "RMSE_log",
                             "Delta1", "Delta2", "Delta3"))
@@ -199,15 +216,6 @@ def restore_params_for_eval(cmd, model, sample_batch, weights_subdir: str):
         params = mgr.restore_latest(state).params
     mgr.close()
     return params
-
-
-def sample_batch_like(dataset):
-    """First batch of an eval/predict stream reshaped to a [b,T,...] training
-    batch (T=2) for parameter initialization."""
-    first = next(iter(dataset.batches()))
-    if first["rgb"].ndim == 5:
-        return first
-    raise ValueError("expected windowed batch")
 
 
 def init_sample(cmd, h=64, w=64):
@@ -257,7 +265,9 @@ def main(argv=None):
     if cmd.mode in ("train", "finetune"):
         from m4depth_tpu.train.loop import fit
 
-        dataset = build_dataset(cmd, "train", db_paths, cmd.batch_size)
+        dataset = build_dataset(
+            cmd, "finetune" if cmd.mode == "finetune" else "train",
+            db_paths, cmd.batch_size)
         cfg = model_config_from_args(cmd, depth_type=dataset.depth_type)
         model = build_model(cmd, cfg)
         tcfg = train_config_from_args(cmd)
@@ -275,7 +285,11 @@ def main(argv=None):
             mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
             resume = mgr.resume_epoch
             mgr.close()
-            total = resume * len(dataset) + cmd.finetune_steps
+            # reference semantics: resume + steps//len + 1 epochs
+            # (finetune-kitti.py:85) — the +1 guarantees at least one
+            # finetune epoch even when finetune_steps < one epoch
+            total = (resume + cmd.finetune_steps // len(dataset)
+                     + 1) * len(dataset)
         else:
             total = cmd.total_steps
         fit(model, dataset, tcfg, total_steps=total, resume=True,
@@ -288,12 +302,28 @@ def main(argv=None):
             write_perfs,
         )
 
-        weights_subdir = "train" if cmd.mode == "validation" else "best"
         dataset = build_dataset(cmd, "eval", db_paths, 1)
         cfg = model_config_from_args(cmd, depth_type=dataset.depth_type)
         model = build_model(cmd, cfg)
-        params = restore_params_for_eval(cmd, model, init_sample(cmd),
-                                         weights_subdir)
+        val_state = val_epoch = None
+        if cmd.mode == "validation":
+            # restore ONCE and reuse for both eval and the best-ckpt backup:
+            # re-reading "latest" after a long eval could pair this eval's
+            # metrics with a newer epoch's weights
+            from m4depth_tpu.train import create_train_state
+            from m4depth_tpu.train.checkpoints import TrainCheckpointManager
+
+            mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
+            val_state = create_train_state(model, jax.random.PRNGKey(0),
+                                           init_sample(cmd))
+            val_epoch = mgr.latest_epoch or 0
+            if mgr.latest_epoch is not None:
+                val_state = mgr.restore_latest(val_state)
+            mgr.close()
+            params = val_state.params
+        else:
+            params = restore_params_for_eval(cmd, model, init_sample(cmd),
+                                             "best")
         trace = None
         if cmd.log_dir and cmd.mode == "eval":
             from m4depth_tpu.utils.profiling import TraceWindow
@@ -307,25 +337,14 @@ def main(argv=None):
         print({k: round(v, 4) for k, v in metrics.items()})
 
         if cmd.mode == "validation":
-            from m4depth_tpu.train.checkpoints import (
-                BestCheckpointManager,
-                TrainCheckpointManager,
-            )
+            from m4depth_tpu.train.checkpoints import BestCheckpointManager
 
             perfs = metrics_to_validation_perfs(metrics)
-            mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
-            from m4depth_tpu.train import create_train_state
-
-            state = create_train_state(model, jax.random.PRNGKey(0),
-                                       init_sample(cmd))
-            epoch = mgr.latest_epoch or 0
-            state = mgr.restore_latest(state)
-            mgr.close()
             best = BestCheckpointManager(
                 os.path.join(cmd.ckpt_dir, "train"),
                 os.path.join(cmd.ckpt_dir, "best"),
                 keep_top_n=cmd.keep_top_n)
-            best.update(epoch, perfs, state)
+            best.update(val_epoch, perfs, val_state)
             line = "\t\t".join(
                 format(metrics[k], ".4f")
                 for k in ("AbsRel", "SqRel", "RMSE", "RMSE_log", "Delta1",
@@ -340,7 +359,7 @@ def main(argv=None):
     elif cmd.mode == "predict":
         import jax.numpy as jnp
 
-        from m4depth_tpu.models import M4Depth as _M, init_state
+        from m4depth_tpu.models import init_state
 
         dataset = build_dataset(cmd, "predict", db_paths, 1)
         cfg = model_config_from_args(cmd, depth_type=dataset.depth_type)
@@ -353,7 +372,8 @@ def main(argv=None):
             from m4depth_tpu.geometry import Camera
 
             return model.apply(params, state, rgb, rot, trans,
-                               Camera(f, c), new_traj, method=_M.step)
+                               Camera(f, c), new_traj,
+                               method=type(model).step)
 
         model_state = None
         for i, frame in enumerate(dataset.frames()):

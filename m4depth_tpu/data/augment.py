@@ -132,6 +132,9 @@ def crop_augment(seq: Dict[str, np.ndarray], rng: np.random.RandomState,
     oh, ow = out_size
     if h == oh and w == ow:
         return seq
+    # NOTE: the exclusive upper bound is reference parity — the reference
+    # samples tf.random.uniform(maxval=diff), also excluding the rightmost/
+    # bottom crop position (midair.py:95,101)
     if oh >= ow:  # long edge is height: crop along width
         off = rng.randint(0, w - ow) if w > ow else 0
         seq["RGB_im"] = seq["RGB_im"][:, :oh, off:off + ow].copy()

@@ -227,15 +227,12 @@ class RecordSequenceDataset:
         self.seed = seed
         self.num_workers = num_workers
         self.windows: List[Tuple[int, int]] = []
+        # train_like guarantees db_seq_len; eval/predict use seq_len
+        # (db_seq_len or 1) — block is always a positive int
         block = db_seq_len if self.train_like else self.seq_len
-        if block is None:
-            for ti in range(len(self.reader)):
-                for ri in range(self.reader.num_frames(ti)):
-                    self.windows.append((ti, ri))
-        else:
-            for ti in range(len(self.reader)):
-                for bi in range(self.reader.num_frames(ti) // block):
-                    self.windows.append((ti, bi * block))
+        for ti in range(len(self.reader)):
+            for bi in range(self.reader.num_frames(ti) // block):
+                self.windows.append((ti, bi * block))
         if host_shard:
             from m4depth_tpu.parallel.mesh import host_shard_indices
 
@@ -262,7 +259,12 @@ class RecordSequenceDataset:
             frames = self.reader.read_frames(ti, start, self.seq_len)
         seq = {
             "RGB_im": np.stack([f["RGB_im"] for f in frames]),
-            "depth": np.stack([f["depth"] for f in frames]),
+            # depth-less (predict-style) stores: zeros, like the CSV
+            # pipeline's fallback (pipeline.py:165-168)
+            "depth": (np.stack([f["depth"] for f in frames])
+                      if "depth" in frames[0] else
+                      np.zeros(frames[0]["RGB_im"].shape[:2] + (1,),
+                               np.float32)[None].repeat(len(frames), 0)),
             "rot": np.stack([f["rot"] for f in frames]),
             "trans": np.stack([f["trans"] for f in frames]),
             "camera_f": frames[0]["camera_f"],

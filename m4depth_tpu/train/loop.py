@@ -94,7 +94,14 @@ def fit(
         raise ValueError("dataset yields zero batches")
     n_epochs = max(total_steps // steps_per_epoch, 1)
 
-    sample = next(dataset.batches(0))
+    import itertools
+
+    # peek the first batch for shapes, then continue the SAME generator for
+    # epoch 0 (restarting it would decode the lookahead windows twice and
+    # abandon a live worker pool)
+    _epoch0_gen = dataset.batches(0)
+    sample = next(_epoch0_gen)
+    epoch0 = itertools.chain([sample], _epoch0_gen)
     batch_size = sample["rgb"].shape[0]
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     lr_schedule = getattr(cfg, "lr_schedule", "constant")
@@ -121,6 +128,7 @@ def fit(
         if start_epoch > 0:
             print(f"Resuming from epoch {start_epoch}")
             state = ckpt_mgr.restore_latest(state)
+            _epoch0_gen.close()  # resume skips epoch 0: stop its workers
 
     best_mgr = None
     if validation_fn is not None:
@@ -156,7 +164,9 @@ def fit(
     try:
         for epoch in range(start_epoch, n_epochs):
             t_epoch = time.time()
-            for batch in dataset.batches(epoch):
+            batches = (epoch0 if epoch == 0 and start_epoch == 0
+                       else dataset.batches(epoch))
+            for batch in batches:
                 sharded = shard_batch_pytree(batch, mesh)
                 t0 = time.time()
                 try:
