@@ -17,6 +17,7 @@ DEFAULT_REFERENCE_PATH = os.environ.get(
     "M4DEPTH_REFERENCE_PATH", "/root/reference")
 
 _cache: Optional[SimpleNamespace] = None
+_cache_key = None
 
 
 def reference_available(path: str = DEFAULT_REFERENCE_PATH) -> bool:
@@ -40,8 +41,13 @@ def load_reference(path: str = DEFAULT_REFERENCE_PATH,
     (m4depth_network.py:206-214) when driving the model directly with numpy
     inputs, and harmless for op-level goldens.
     """
-    global _cache
+    global _cache, _cache_key
     if _cache is not None:
+        if _cache_key != (path, eager):
+            raise RuntimeError(
+                "load_reference was already initialized with "
+                f"{_cache_key}; cannot reload with {(path, eager)} in the "
+                "same process (TF module state is global)")
         return _cache
 
     os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
@@ -114,6 +120,7 @@ def load_reference(path: str = DEFAULT_REFERENCE_PATH,
         setattr(depth_ops, fname, patched)
         setattr(network, fname, patched)  # star-imported copy
 
+    _cache_key = (path, eager)
     _cache = SimpleNamespace(
         tf=tf,
         network=network,

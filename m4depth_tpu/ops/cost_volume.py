@@ -145,89 +145,17 @@ def parallax_sweeping_cv_flat(
     num_cuts: int = 1,
     cv_dtype: jnp.dtype = jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Expanded-shift DSCV, flat/channel-minor formulation.
+    """Expanded-shift DSCV, flat/channel-minor formulation: one unchunked
+    fetch with minor-dim-only reshapes and in-bounds gather semantics.
 
-    Same math as :func:`parallax_sweeping_cv_expanded`, but every tensor
-    after the expansion lives in ``[b, N, ...minor]`` form where all
-    reshapes only split/merge the minor (lane) dimension — XLA then keeps
-    one channel-minor layout end-to-end instead of bouncing between the
-    gather's channel-minor and the 6-D spatial-minor layouts (which cost
-    ~1.4 ms/step in transposes at 384² d6). The per-pixel row fetch uses
-    in-bounds gather semantics (indices are pre-clipped) so no OOB select
-    is materialized.
+    Exactly :func:`parallax_sweeping_cv_split` with a single chunk (the
+    chunked form generalizes this one); kept as a named entry point for
+    configs and benchmarks comparing against the gather-cliff behaviour of
+    large operands.
     """
-    b, h, w, C = c1.shape
-    n = h * w
-    s = 2 * search_range + 1
-    d = 2 * search_range + 2
-    cc = C // num_cuts
-    ch = C + 1
-
-    e = epipolar_terms(h, w, rot, trans, camera)
-    unit = e.delta / jnp.maximum(e.rho, 1e-12)            # [b,h,w,2]
-    disp0 = jnp.clip(para_sweep_center, 1e-6, 1e6)
-    grid_off = (camera.c.reshape(b, 1, 1, 2) - 0.5)
-    center = e.proj + unit * disp0 + grid_off             # [b,h,w,2]
-    cx = jnp.clip(jnp.floor(center[..., 0]), 0, w - 1).astype(jnp.int32)
-    cy = jnp.clip(jnp.floor(center[..., 1]), 0, h - 1).astype(jnp.int32)
-
-    # 1) channel-expanded static shifts (2 passes of d big contiguous copies)
-    combined = jnp.concatenate(
-        [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
-    padded = jnp.pad(
-        combined,
-        ((0, 0), (search_range, search_range + 1),
-         (search_range, search_range + 1), (0, 0)),
-        mode="edge")
-    exp_y = jnp.concatenate(
-        [padded[:, dy:dy + h, :, :] for dy in range(d)], axis=-1)
-    expanded = jnp.concatenate(
-        [exp_y[:, :, dx:dx + w, :] for dx in range(d)], axis=-1)
-    # channel order (dx-major, dy, ch)                    # [b,h,w,d*d*ch]
-
-    # 2) one contiguous row fetch per pixel; indices are in [0, n)
-    flat = expanded.reshape(b, n, d * d * ch)
-    idx = (cy * w + cx).reshape(b, n, 1)
-    fetched = jnp.take_along_axis(flat, idx, axis=1, mode="promise_in_bounds")
-
-    # 3a) per-cut correlation — minor-dim-only reshapes from here on
-    patch = fetched.reshape(b, n, d, d, ch)
-    c1f = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
-    feat = patch[..., :C].reshape(b, n, d, d, num_cuts, cc)
-    corr = (c1f * feat).mean(axis=-1)                     # [b,n,dx,dy,cuts]
-    para_patch = patch[..., C]                            # [b,n,dx,dy]
-
-    # 3b) separable bilinear hypothesis weights over the delta grid
-    offsets = jnp.arange(-search_range, search_range + 1, dtype=jnp.float32)
-    disp_k = jnp.clip(
-        disp0.reshape(b, n, 1) + offsets.reshape(1, 1, -1), 1e-6, 1e6)
-    q = (e.proj.reshape(b, n, 1, 2) + unit.reshape(b, n, 1, 2)
-         * disp_k[..., None] + grid_off.reshape(b, 1, 1, 2))  # [b,n,s,2]
-    qx, qy = q[..., 0], q[..., 1]
-    x0 = jnp.clip(jnp.floor(qx), 0, w - 2)
-    y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
-    ax = jnp.clip(qx - x0, 0.0, 1.0)
-    ay = jnp.clip(qy - y0, 0.0, 1.0)
-    relx = x0.astype(jnp.int32) - cx.reshape(b, n, 1)     # [b,n,s] in [-r,r]
-    rely = y0.astype(jnp.int32) - cy.reshape(b, n, 1)
-    dgrid = jax.lax.broadcasted_iota(
-        jnp.int32, (1, 1, 1, d), 3) - search_range        # [-r, r+1]
-    wx = ((dgrid == relx[..., None]) * (1.0 - ax[..., None])
-          + (dgrid == relx[..., None] + 1) * ax[..., None]).astype(cv_dtype)
-    wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
-          + (dgrid == rely[..., None] + 1) * ay[..., None]).astype(cv_dtype)
-    # wx, wy: [b,n,s,d]
-
-    # 3c) contract dy then dx, all with trailing-dim broadcasts
-    #   corr [b,n,dx,dy,cuts] x wy [b,n,1(k),1(dx),dy,1] -> t1 [b,n,s,dx,cuts]
-    t1 = (corr[:, :, None] * wy[:, :, :, None, :, None]).sum(axis=4)
-    cv = (t1 * wx[..., None]).sum(axis=3)                 # [b,n,s,cuts]
-    p1 = (para_patch[:, :, None] * wy[:, :, :, None, :]).sum(axis=-1)
-    para_w = (p1 * wx).sum(axis=-1)                       # [b,n,s]
-
-    cv = cv.transpose(0, 1, 3, 2).reshape(b, h, w, num_cuts * s)
-    para_w = para_w.reshape(b, h, w, s)
-    return cv.astype(jnp.float32), para_w.astype(jnp.float32)
+    return parallax_sweeping_cv_split(
+        c1, c2, para_prev_t, para_sweep_center, rot, trans, camera,
+        search_range, num_cuts=num_cuts, cv_dtype=cv_dtype, n_chunks=1)
 
 
 def parallax_sweeping_cv_split(

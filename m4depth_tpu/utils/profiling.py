@@ -61,16 +61,27 @@ class TraceWindow:
 
 def benchmark_fn(fn: Callable, *args, warmup: int = 3, iters: int = 30,
                  **kwargs) -> Dict[str, float]:
-    """Wall-clock statistics of a jitted callable (mean/p50/MAD jitter)."""
+    """Wall-clock statistics of a jitted callable (mean/p50/MAD jitter).
+
+    Completion is forced with a host transfer of one output leaf —
+    ``block_until_ready`` alone can return early through the tunneled-TPU
+    transport (DEVELOPMENT.md), yielding wildly optimistic numbers.
+    """
+
+    def force(o):
+        leaves = jax.tree_util.tree_leaves(o)
+        if leaves:
+            np.asarray(leaves[0])
+
     out = None
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    force(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        force(out)
         times.append(time.perf_counter() - t0)
     arr = np.asarray(times)
     return {

@@ -123,7 +123,9 @@ def main():
             _, op, fl, line = info
             comp = fl.replace(".py", "")
             if fl == "cost_volume.py":
-                comp = "sncv" if line >= 381 else "dscv"
+                from m4depth_tpu.ops.cost_volume import spatial_cost_volume
+                sncv_line = spatial_cost_volume.__code__.co_firstlineno
+                comp = "sncv" if line >= sncv_line else "dscv"
             agg[comp] += dur
         total = sum(per.values())
         print(f"device total {total:.0f} us/step")
