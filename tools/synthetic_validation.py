@@ -139,8 +139,14 @@ def main():
     t0 = time.time()
     for step_i in range(a.steps):
         state, scal = tstep(state, get_batch(step_i))
+        if step_i % 25 == 0:
+            # bounded in-flight window: a host sync here releases the
+            # dispatch pipeline's input buffers — through the tunneled
+            # backend an unsynced loop retains every batch ever sent
+            # (observed 124 GB RSS -> host OOM kill at ~3.7k steps)
+            loss_now = float(scal["loss"])
         if step_i % 250 == 0:
-            print(f"step {step_i}: loss={float(scal['loss']):.4f} "
+            print(f"step {step_i}: loss={loss_now:.4f} "
                   f"RMSE_log={float(scal['RMSE_log']):.4f}", flush=True)
     print(f"trained {a.steps} steps in {time.time() - t0:.1f}s", flush=True)
 
