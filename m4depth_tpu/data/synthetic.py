@@ -218,3 +218,125 @@ class SyntheticGeometricDataset:
                 "camera_c": np.stack([s["camera_c"] for s in seqs]),
                 "new_traj": new_traj,
             }
+
+
+def device_batch_sampler(batch_size: int, T: int, h: int, w: int):
+    """Jitted on-device synthetic-batch generator (same scene distribution
+    as :func:`make_sequence`, sampled with ``jax.random``).
+
+    Motivation: on tunneled single-chip setups every host->device transfer
+    leaks host memory in the transport client (measured ~1 GB per 60
+    transfers of a 21 MB batch — DEVELOPMENT.md), and host rendering gates
+    throughput on single-core machines. Generating the analytic scenes on
+    the TPU removes the host from the training loop entirely; only the PRNG
+    key crosses the wire.
+
+    Returns ``gen(key) -> batch`` (jit-compiled) producing the training-step
+    schema: rgb [b,T,h,w,3], depth [b,T,h,w,1], rot [b,T,4], trans [b,T,3],
+    camera_f/camera_c [b,2] — all float32 jnp arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from m4depth_tpu.geometry.rotations import rot_mat_quaternion
+
+    n_waves = 3
+    f = jnp.array([w / 2.0, h / 2.0], jnp.float32)
+    us = ((jnp.arange(w) + 0.5 - f[0]) / f[0])
+    vs = ((jnp.arange(h) + 0.5 - f[1]) / f[1])
+    rays = jnp.stack([jnp.broadcast_to(us[None, :], (h, w)),
+                      jnp.broadcast_to(vs[:, None], (h, w)),
+                      jnp.ones((h, w), jnp.float32)], axis=-1)
+
+    def quat_mul(a, b):
+        aw, ax, ay, az = (a[..., i] for i in range(4))
+        bw, bx, by, bz = (b[..., i] for i in range(4))
+        return jnp.stack([
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw], axis=-1)
+
+    def quat_conj(q):
+        return q * jnp.array([1.0, -1, -1, -1], jnp.float32)
+
+    def gen(key):
+        b = batch_size
+        ks = jax.random.split(key, 12)
+        # plane (world = camera-0 frame): mild tilt, facing the camera
+        tilt = jax.random.uniform(ks[0], (b, 2), minval=-0.22, maxval=0.22)
+        normal = jnp.concatenate([tilt, -jnp.ones((b, 1))], axis=1)
+        normal = normal / jnp.linalg.norm(normal, axis=1, keepdims=True)
+        p0 = jnp.concatenate([
+            jax.random.uniform(ks[1], (b, 2), minval=-1.0, maxval=1.0),
+            jax.random.uniform(ks[2], (b, 1), minval=5.0, maxval=9.0)],
+            axis=1)
+        plane_d = jnp.sum(normal * p0, axis=1)            # [b]
+
+        # texture mixture (matches _PlaneTexture's distribution)
+        dirs_t = jax.random.normal(ks[3], (b, 3, n_waves, 3))
+        dirs_t = dirs_t / jnp.linalg.norm(dirs_t, axis=-1, keepdims=True)
+        wavelen = jax.random.uniform(ks[4], (b, 3, n_waves),
+                                     minval=14.0, maxval=30.0)
+        kvec = dirs_t * (2.0 * jnp.pi / wavelen)[..., None]  # [b,3,n,3]
+        phase = jax.random.uniform(ks[5], (b, 3, n_waves),
+                                   minval=0.0, maxval=2 * jnp.pi)
+        amp = jax.random.uniform(ks[6], (b, 3, n_waves), minval=0.5,
+                                 maxval=1.0)
+        amp = 0.42 * amp / amp.sum(axis=2, keepdims=True)
+
+        # chained trajectory: per-step axis/angle rotation + local step
+        axis = jax.random.normal(ks[7], (b, T - 1, 3))
+        axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+        ang = jax.random.uniform(ks[8], (b, T - 1, 1), minval=0.0,
+                                 maxval=0.04)
+        dq = jnp.concatenate([jnp.cos(ang / 2),
+                              jnp.sin(ang / 2) * axis], axis=-1)
+        steps = jnp.concatenate([
+            jax.random.uniform(ks[9], (b, T - 1, 2), minval=-0.25,
+                               maxval=0.25),
+            jax.random.uniform(ks[10], (b, T - 1, 1), minval=-0.15,
+                               maxval=0.35)], axis=-1)
+
+        quats = [jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (b, 1))]
+        pos = [jnp.zeros((b, 3), jnp.float32)]
+        for t in range(1, T):
+            quats.append(quat_mul(quats[-1], dq[:, t - 1]))
+            R_prev = rot_mat_quaternion(quats[-2])        # [b,3,3]
+            pos.append(pos[-1] + jnp.einsum(
+                "bij,bj->bi", R_prev, steps[:, t - 1]))
+
+        rgb_seq, depth_seq, rot_seq, trans_seq = [], [], [], []
+        for t in range(T):
+            R_wt = rot_mat_quaternion(quats[t])           # [b,3,3]
+            dirs = jnp.einsum("hwk,bjk->bhwj", rays, R_wt)
+            denom = jnp.sum(dirs * normal[:, None, None, :], axis=-1)
+            s = (plane_d - jnp.sum(normal * pos[t], axis=1)
+                 )[:, None, None] / denom                  # [b,h,w]
+            points = pos[t][:, None, None, :] + dirs * s[..., None]
+            ph = jnp.einsum("bhwk,bcnk->bhwcn", points, kvec) \
+                + phase[:, None, None]
+            rgb = 0.5 + jnp.sum(jnp.sin(ph) * amp[:, None, None], axis=-1)
+            rgb_seq.append(jnp.clip(rgb, 0.02, 0.98))
+            depth_seq.append(s[..., None])
+            if t == 0:
+                rot_seq.append(jnp.tile(
+                    jnp.array([[1.0, 0, 0, 0]], jnp.float32), (b, 1)))
+                trans_seq.append(jnp.zeros((b, 3), jnp.float32))
+            else:
+                rot_seq.append(quat_mul(quat_conj(quats[t - 1]), quats[t]))
+                R_prev = rot_mat_quaternion(quats[t - 1])
+                trans_seq.append(jnp.einsum(
+                    "bij,bi->bj", R_prev, pos[t] - pos[t - 1]))
+
+        return {
+            "rgb": jnp.stack(rgb_seq, axis=1),
+            "depth": jnp.stack(depth_seq, axis=1),
+            "rot": jnp.stack(rot_seq, axis=1),
+            "trans": jnp.stack(trans_seq, axis=1),
+            "camera_f": jnp.tile(f[None], (b, 1)),
+            "camera_c": jnp.tile(f[None], (b, 1)),
+        }
+
+    import jax as _jax
+    return _jax.jit(gen)

@@ -83,39 +83,18 @@ def main():
         pool = [to_jnp(b) for b in train_ds.batches(0)]
         get_batch = lambda i: pool[i % len(pool)]  # noqa: E731
     else:
-        # infinite stream: fresh scenes every step (no memorization), host
-        # rendering overlapped with device steps via a thread pool; each
-        # render owns its RandomState (seeded by batch index)
-        from concurrent.futures import ThreadPoolExecutor
+        # infinite stream: fresh scenes every step (no memorization),
+        # generated ON DEVICE — zero host->device transfers in the loop
+        # (the tunneled transport leaks host memory per transfer, and a
+        # host renderer gates throughput on single-core machines; see
+        # device_batch_sampler)
+        from m4depth_tpu.data.synthetic import device_batch_sampler
 
-        from m4depth_tpu.data.synthetic import make_sequence
-
-        def render(seed):
-            rng = np.random.RandomState(seed)
-            seqs = [make_sequence(rng, a.T, h, w) for _ in range(a.batch)]
-            return to_jnp({
-                "rgb": np.stack([s["RGB_im"] for s in seqs]),
-                "depth": np.stack([s["depth"] for s in seqs]),
-                "rot": np.stack([s["rot"] for s in seqs]),
-                "trans": np.stack([s["trans"] for s in seqs]),
-                "camera_f": np.stack([s["camera_f"] for s in seqs]),
-                "camera_c": np.stack([s["camera_c"] for s in seqs]),
-            })
-
-        ex = ThreadPoolExecutor(max_workers=6)
-        counter = [0]
-        queue = []
-
-        def submit():
-            queue.append(ex.submit(render, counter[0]))
-            counter[0] += 1
-
-        for _ in range(12):
-            submit()
+        gen = device_batch_sampler(a.batch, a.T, h, w)
+        stream_key = jax.random.PRNGKey(1234)
 
         def get_batch(i):
-            submit()
-            return queue.pop(0).result()
+            return gen(jax.random.fold_in(stream_key, i))
 
         pool = [get_batch(0)]
 
@@ -140,11 +119,7 @@ def main():
     for step_i in range(a.steps):
         state, scal = tstep(state, get_batch(step_i))
         if step_i % 25 == 0:
-            # bounded in-flight window: a host sync here releases the
-            # dispatch pipeline's input buffers — through the tunneled
-            # backend an unsynced loop retains every batch ever sent
-            # (observed 124 GB RSS -> host OOM kill at ~3.7k steps)
-            loss_now = float(scal["loss"])
+            loss_now = float(scal["loss"])  # bound the dispatch pipeline
         if step_i % 250 == 0:
             print(f"step {step_i}: loss={loss_now:.4f} "
                   f"RMSE_log={float(scal['RMSE_log']):.4f}", flush=True)
