@@ -71,6 +71,9 @@ def main():
     p.add_argument("--seq_len", type=int, default=4)
     p.add_argument("--db_seq_len", type=int, default=8)
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--no_augment", action="store_true",
+                   help="isolate decode-vs-mmap (augmentation cost is "
+                        "identical in both pipelines)")
     a = p.parse_args()
 
     from m4depth_tpu.data import SequenceDataset, get_adapter
@@ -88,7 +91,7 @@ def main():
         decode_ds = SequenceDataset(
             adapter, db_path=db, records_path=records, usecase="train",
             db_seq_len=a.db_seq_len, seq_len=a.seq_len, batch_size=a.batch,
-            augment=True, num_workers=a.workers)
+            augment=not a.no_augment, num_workers=a.workers)
         dec_rate, nb = throughput(decode_ds)
 
         store = os.path.join(root, "store")
@@ -98,7 +101,7 @@ def main():
 
         mmap_ds = RecordSequenceDataset(
             store, adapter=adapter, usecase="train", db_seq_len=a.db_seq_len,
-            seq_len=a.seq_len, batch_size=a.batch, augment=True,
+            seq_len=a.seq_len, batch_size=a.batch, augment=not a.no_augment,
             num_workers=a.workers)
         mm_rate, _ = throughput(mmap_ds)
 
