@@ -62,3 +62,28 @@ def test_fit_closes_validator(tmp_path):
     fit(M4Depth(cfg), ds, tcfg, total_steps=2, resume=False, validation_fn=v)
     assert v.spawned >= 1
     assert v._child is None  # reaped in the loop's finally
+
+
+def test_child_command_forwards_model_config():
+    """The validation child must rebuild the SAME model: every model-config
+    flag is forwarded (a mismatched child fails checkpoint restore)."""
+    import argparse
+
+    from m4depth_tpu.cli.main import SubprocessValidator
+    from m4depth_tpu.cli.options import build_parser
+
+    parser = build_parser(argparse.ArgumentParser())
+    cmd, _ = parser.parse_known_args([
+        "--mode=train", "--dataset=midair", "--model=m4depth-v1",
+        "--no_SNCV", "--no_DINL", "--compute_dtype=float32",
+        "--dscv_impl=expanded", "--arch_depth=4",
+    ])
+    v = SubprocessValidator(cmd)
+    args = v.args
+    assert "--model=m4depth-v1" in args
+    assert "--no_SNCV" in args and "--no_DINL" in args
+    assert "--no_time_recurr" not in args
+    assert "--compute_dtype=float32" in args
+    assert "--dscv_impl=expanded" in args
+    assert "--arch_depth=4" in args
+    assert v._log_path.endswith("validation-subprocess.log")
