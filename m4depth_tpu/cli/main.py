@@ -262,6 +262,25 @@ def main(argv=None):
         print(f"converted {n} trajectories into {cmd.record_store}")
         return 0
 
+    if cmd.mode == "promote":
+        from m4depth_tpu.train import create_train_state
+        from m4depth_tpu.train.checkpoints import promote_best_to_train
+
+        dest = cmd.promote_dest or cmd.ckpt_dir
+        cfg = model_config_from_args(cmd)
+        model = build_model(cmd, cfg)
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   init_sample(cmd))
+        epoch = promote_best_to_train(
+            os.path.join(cmd.ckpt_dir, "best"),
+            os.path.join(dest, "train"), state,
+            keep_top_n=cmd.keep_top_n)
+        if epoch is None:
+            print(f"no best checkpoint in {cmd.ckpt_dir}/best to promote")
+            return 1
+        print(f"promoted best checkpoint (epoch {epoch}) to {dest}/train")
+        return 0
+
     if cmd.mode in ("train", "finetune"):
         from m4depth_tpu.train.loop import fit
 

@@ -30,10 +30,17 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="Model checkpoint directory")
     g.add_argument("--mode",
                    choices=["train", "finetune", "eval", "validation",
-                            "predict", "convert"],
+                            "predict", "convert", "promote"],
                    help="Run mode (convert: decode the CSV dataset once "
                         "into a binary record store, the legacy TFRecord-DB "
-                        "capability, protobuf_db.py:287-358)")
+                        "capability, protobuf_db.py:287-358; promote: "
+                        "re-save ckpt_dir/best's ledger winner under "
+                        "promote_dest/train so finetuning resumes from it, "
+                        "the reference's best->train move, "
+                        "scripts/1b-finetune-kitti.sh:5-11)")
+    g.add_argument("--promote_dest", default=None, type=str,
+                   help="promote mode: destination checkpoint dir "
+                        "(defaults to --ckpt_dir, promoting in place)")
     g.add_argument("--record_store", default=None, type=str,
                    help="Path to a record store. With --mode=convert: the "
                         "output directory. Other modes: train/eval from the "

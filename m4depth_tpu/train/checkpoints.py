@@ -173,3 +173,30 @@ class BestCheckpointManager:
         out = ckpter.restore(os.path.join(self.best_dir, name), template)
         ckpter.close()
         return out
+
+
+def promote_best_to_train(best_dir: str, train_dir: str, abstract_state: Any,
+                          keep_top_n: int = 1) -> Optional[int]:
+    """Re-save the ledger-winning best checkpoint under the train manager's
+    integer-step naming so a later run (finetune) resumes from it.
+
+    A plain ``cp -r best train`` does NOT work: the best dir holds
+    ``StandardCheckpointer`` dirs named ``ckpt-NNNN`` while
+    ``TrainCheckpointManager`` is an Orbax ``CheckpointManager`` expecting
+    integer step dirs — ``latest_step()`` on a copied dir returns ``None``
+    and finetuning silently starts from scratch, exactly the failure the
+    reference's promote step exists to prevent
+    (scripts/1b-finetune-kitti.sh:5-11).
+
+    Returns the promoted epoch, or ``None`` when there is no best checkpoint.
+    """
+    best = BestCheckpointManager(train_dir, best_dir, keep_top_n=keep_top_n)
+    name = best.best_checkpoint_name()
+    if name is None:
+        return None
+    state = best.restore_best(abstract_state)
+    epoch = int(str(name).rsplit("-", 1)[-1])
+    mgr = TrainCheckpointManager(train_dir)
+    mgr.save(epoch, state)
+    mgr.close()
+    return epoch

@@ -10,7 +10,11 @@ savepath="ckpt/kitti-finetune-d6"
 
 mkdir -p "$savepath"
 if [ -d "$src/best" ] && [ ! -d "$savepath/train" ]; then
-    cp -r "$src/best" "$savepath/train" 2>/dev/null || true
+    # Re-save best's ledger winner under the train manager's step naming
+    # (a plain cp -r would leave a layout latest_step() can't see and
+    # finetuning would silently start from scratch).
+    python -m m4depth_tpu.cli.main --mode=promote \
+        --ckpt_dir="$src" --promote_dest="$savepath" --arch_depth=6
 fi
 
 python -m m4depth_tpu.cli.finetune_kitti \

@@ -8,6 +8,7 @@ import pytest
 from m4depth_tpu.train.checkpoints import (
     BestCheckpointManager,
     TrainCheckpointManager,
+    promote_best_to_train,
 )
 
 
@@ -110,6 +111,48 @@ class TestBestCheckpointManager:
         best.update(0, perfs(0.5, 0.5), tiny_state())
         best.update(1, perfs(0.5, 0.5), tiny_state())  # identical: 0-0 vote
         assert best.best_checkpoint_name() == "ckpt-0001"
+
+    def test_plain_copy_is_invisible_to_train_manager(self, tmp_path):
+        """The bug promote_best_to_train exists to fix: cp -r of a best dir
+        (StandardCheckpointer ckpt-NNNN layout) into a train dir leaves
+        latest_step() == None, so a resume would silently start from
+        scratch."""
+        import shutil
+
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=1)
+        best.update(5, perfs(0.3, 0.8), tiny_state())
+        shutil.copytree(str(tmp_path / "b"), str(tmp_path / "copied-train"))
+        mgr = TrainCheckpointManager(str(tmp_path / "copied-train"))
+        assert mgr.latest_epoch is None  # the silent-no-op failure mode
+        mgr.close()
+
+    def test_promote_best_to_train(self, tmp_path):
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=1)
+        state = tiny_state().replace(step=42)
+        state = state.replace(
+            params={"w": jnp.full(4, 7.0), "b": jnp.ones((2, 2))})
+        best.update(5, perfs(0.3, 0.8), state)
+
+        epoch = promote_best_to_train(
+            str(tmp_path / "b"), str(tmp_path / "dest" / "train"),
+            tiny_state())
+        assert epoch == 5
+
+        mgr = TrainCheckpointManager(str(tmp_path / "dest" / "train"))
+        assert mgr.latest_epoch == 5
+        assert mgr.resume_epoch == 6
+        restored = mgr.restore_latest(tiny_state())
+        assert int(restored.step) == 42
+        np.testing.assert_allclose(np.array(restored.params["w"]),
+                                   np.full(4, 7.0))
+        mgr.close()
+
+    def test_promote_without_best_returns_none(self, tmp_path):
+        assert promote_best_to_train(
+            str(tmp_path / "missing"), str(tmp_path / "train"),
+            tiny_state()) is None
 
     def test_restore_best(self, tmp_path):
         best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),

@@ -131,6 +131,61 @@ class TestCliRecordStore:
         perfs = np.loadtxt(os.path.join(ckpt, "perfs-midair.txt"))
         assert np.all(np.isfinite(perfs))
 
+    def test_promote_without_best_fails(self, tmp_path):
+        from m4depth_tpu.cli.main import main
+
+        rc = main([
+            "--mode=promote",
+            f"--ckpt_dir={tmp_path / 'empty'}",
+            f"--promote_dest={tmp_path / 'dest'}",
+            "--arch_depth=2", "--compute_dtype=float32",
+        ])
+        assert rc == 1
+
+    def test_promote_resaves_best_under_train_naming(self, tmp_path):
+        """CLI promote verb: a best checkpoint created by the validation
+        path must become visible to TrainCheckpointManager.latest_step in
+        the destination (reference best->train move,
+        scripts/1b-finetune-kitti.sh:5-11)."""
+        import jax
+
+        from m4depth_tpu.cli.main import build_model, init_sample, main
+        from m4depth_tpu.cli.options import (
+            build_parser,
+            model_config_from_args,
+        )
+        from m4depth_tpu.train import create_train_state
+        from m4depth_tpu.train.checkpoints import (
+            BestCheckpointManager,
+            TrainCheckpointManager,
+        )
+        import argparse
+
+        flags = ["--arch_depth=2", "--compute_dtype=float32"]
+        parser = build_parser(argparse.ArgumentParser())
+        cmd, _ = parser.parse_known_args(flags)
+        model = build_model(cmd, model_config_from_args(cmd))
+        state = create_train_state(model, jax.random.PRNGKey(3),
+                                   init_sample(cmd))
+        src = str(tmp_path / "src")
+        best = BestCheckpointManager(
+            os.path.join(src, "train"), os.path.join(src, "best"))
+        best.update(7, {"abs_rel": 0.3, "sq_rel": 0.1, "rmse": 1.0,
+                        "rmsel": 0.2, "a1": 0.9, "a2": 0.95, "a3": 0.99},
+                    state)
+
+        dest = str(tmp_path / "dest")
+        rc = main(["--mode=promote", f"--ckpt_dir={src}",
+                   f"--promote_dest={dest}"] + flags)
+        assert rc == 0
+        mgr = TrainCheckpointManager(os.path.join(dest, "train"))
+        assert mgr.latest_epoch == 7
+        restored = mgr.restore_latest(state)
+        np.testing.assert_allclose(
+            np.array(jax.tree_util.tree_leaves(restored.params)[0]),
+            np.array(jax.tree_util.tree_leaves(state.params)[0]))
+        mgr.close()
+
     def test_convert_requires_out_dir(self, fixture_env):
         root, records, cfg = fixture_env
         import pytest as _pytest

@@ -96,3 +96,43 @@ class TestFit:
         assert len(calls) == 2
         assert os.path.isfile(
             os.path.join(tmp_path, "ckpt", "best", "validation_perfs.csv"))
+
+    def test_train_validate_promote_finetune_e2e(self, tmp_path):
+        """Full promotion chain (the reference's best->train move,
+        scripts/1b-finetune-kitti.sh:5-11): train with validation so a best
+        checkpoint exists, promote it into a fresh finetune dir, then assert
+        the finetune fit() resumes from the PROMOTED params — not a scratch
+        init (the round-2 silent failure mode)."""
+        import jax
+
+        from m4depth_tpu.train import create_train_state
+        from m4depth_tpu.train.checkpoints import promote_best_to_train
+
+        ds = SyntheticDataset(n_batches=2)
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        model = tiny_model()
+
+        def fake_validation(params):
+            return {"abs_rel": 0.5, "sq_rel": 0.1, "rmse": 1.0,
+                    "rmsel": 0.2, "a1": 0.9, "a2": 0.95, "a3": 0.99}
+
+        cfg = TrainConfig(ckpt_dir=src, learning_rate=1e-3)
+        trained = fit(model, ds, cfg, total_steps=2, nan_check_every=1,
+                      validation_fn=fake_validation)
+
+        sample = next(ds.batches(0))
+        abstract = create_train_state(model, jax.random.PRNGKey(0), sample)
+        epoch = promote_best_to_train(
+            os.path.join(src, "best"), os.path.join(dst, "train"), abstract)
+        assert epoch == 0
+
+        # finetune with lr=0: params can only equal the trained ones if the
+        # promoted checkpoint was actually restored (a scratch init with the
+        # same seed would reproduce the UNtrained init instead)
+        cfg2 = TrainConfig(ckpt_dir=dst, learning_rate=0.0)
+        finetuned = fit(model, ds, cfg2, total_steps=4, nan_check_every=1)
+        assert int(finetuned.step) == int(trained.step) + 2
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.array(a), np.array(b), atol=1e-6),
+            finetuned.params, trained.params)
