@@ -39,10 +39,19 @@ class JointSampler:
     def batch_size(self):
         return self.ds_a.batch_size
 
+    # Restarted streams draw their shuffle epoch from a namespace disjoint
+    # from genuine epochs: (epoch+1) * RESTART_STRIDE + restart_count can
+    # never equal a real epoch index (epochs stay far below the stride), so
+    # the (seed, epoch, index) determinism contract holds — the round-2
+    # ``epoch + 1000 + n`` scheme could collide (epoch 1003 vs epoch 3 at
+    # n=1000).
+    RESTART_STRIDE = 1_000_003
+
     def batches(self, epoch: int = 0) -> Iterator[dict]:
         rng = np.random.RandomState(self.seed + epoch)
         it_a = self.ds_a.batches(epoch)
         it_b = self.ds_b.batches(epoch)
+        restarts = 0
         n = 0
         while n < len(self):
             use_a = rng.uniform() < 0.5
@@ -51,11 +60,13 @@ class JointSampler:
                 yield next(it)
             except StopIteration:
                 # restart the exhausted stream (datasets .repeat() semantics)
+                restart_epoch = ((epoch + 1) * self.RESTART_STRIDE + restarts)
+                restarts += 1
                 if use_a:
-                    it_a = self.ds_a.batches(epoch + 1000 + n)
+                    it_a = self.ds_a.batches(restart_epoch)
                     yield next(it_a)
                 else:
-                    it_b = self.ds_b.batches(epoch + 1000 + n)
+                    it_b = self.ds_b.batches(restart_epoch)
                     yield next(it_b)
             n += 1
 

@@ -168,13 +168,19 @@ def make_validation_fn(cmd, model, db_paths):
         os.path.dirname(os.path.abspath(cmd.db_path_config)),
         "data", "kitti-raw-filtered", "val_data")
 
+    # built once and reused across epochs — rebuilding per call re-globs and
+    # re-reads every CSV manifest each epoch
+    cached = {}
+
     def validation_fn(params):
         from m4depth_tpu.data import SequenceDataset, get_adapter
 
-        ds = SequenceDataset(
-            get_adapter("kitti-raw"), db_paths.get("kitti-raw", ""),
-            val_records, usecase="eval", db_seq_len=4, seq_len=4,
-            batch_size=1, augment=False, num_workers=cmd.num_workers)
+        ds = cached.get("ds")
+        if ds is None:
+            ds = cached["ds"] = SequenceDataset(
+                get_adapter("kitti-raw"), db_paths.get("kitti-raw", ""),
+                val_records, usecase="eval", db_seq_len=4, seq_len=4,
+                batch_size=1, augment=False, num_workers=cmd.num_workers)
         metrics = evaluate(
             model, params, ds,
             max_steps=getattr(cmd, "validation_max_batches", 0))
@@ -394,8 +400,18 @@ def main(argv=None):
                                Camera(f, c), new_traj,
                                method=type(model).step)
 
+        trace = None
+        if cmd.log_dir:
+            from m4depth_tpu.utils.profiling import TraceWindow
+
+            # parity: ProfilePredictCallback traces predict batches
+            # (callbacks.py:24-67); same '10, 25' window as eval
+            trace = TraceWindow(cmd.log_dir, 10, 25)
+
         model_state = None
         for i, frame in enumerate(dataset.frames()):
+            if trace is not None:
+                trace.on_step(i)
             if model_state is None:
                 b, h, w = frame["rgb"].shape[:3]
                 model_state = init_state(cfg, b, h, w)
@@ -419,6 +435,8 @@ def main(argv=None):
                               0, 65535).astype(np.uint16)
                 cv2.imwrite(
                     os.path.join(cmd.output_dir, f"depth_{i:06d}.png"), d16)
+        if trace is not None:
+            trace.close()  # streams shorter than the window still flush
     else:
         parser.print_help()
         return 1

@@ -193,13 +193,16 @@ class DecoderLevel(nn.Module):
 
         para_prev_t = prev_depth_to_parallax(state.depth, rot, trans, camera)
         center = self.cfg.search_range
+        # the model only consumes the center hypothesis' warped parallax
+        # (parity: m4depth_network.py:238-241); "split" supports skipping the
+        # weight contraction for the rest, the other impls return all 2r+1
+        para_hyps = ((center,) if self.cfg.dscv_impl == "split"
+                     else tuple(range(2 * center + 1)))
         dscv = {
             "split": functools.partial(
                 parallax_sweeping_cv_split,
                 chunk_bytes=self.cfg.dscv_chunk_bytes,
-                # the model only consumes the center hypothesis' warped
-                # parallax (parity: m4depth_network.py:238-241)
-                para_hyps=(center,)),
+                para_hyps=para_hyps),
             "flat": parallax_sweeping_cv_flat,
             "expanded": parallax_sweeping_cv_expanded,
             "gather": parallax_sweeping_cv,
@@ -227,9 +230,9 @@ class DecoderLevel(nn.Module):
                 leaky_slope=self.cfg.leaky_slope,
             ))
         if abl.time_recurr:
-            # "split" returns only the center hypothesis (para_hyps above);
-            # the other impls return all 2r+1 with center at index r
-            c0 = 0 if self.cfg.dscv_impl == "split" else center
+            # index of the center hypothesis within whatever channels the
+            # chosen impl actually returned
+            c0 = para_hyps.index(center)
             inputs.append(log_safe(
                 para_reproj[..., c0:c0 + 1] * self.lvl_mul))
 

@@ -116,8 +116,12 @@ class M4Depth(nn.Module):
         reset path is a statically different computation.
         """
         T = rgb_seq.shape[1]
-        unroll = {"auto": T <= 4, "unroll": True, "scan": False}[
-            self.cfg.time_axis]
+        dispatch = {"auto": T <= 4, "unroll": True, "scan": False}
+        if self.cfg.time_axis not in dispatch:
+            raise ValueError(
+                f"time_axis must be one of {sorted(dispatch)}, "
+                f"got {self.cfg.time_axis!r}")
+        unroll = dispatch[self.cfg.time_axis]
         if unroll or T <= 2:
             state: Optional[ModelState] = None
             outs: List[Pyramid] = []

@@ -131,6 +131,29 @@ class TestCliRecordStore:
         perfs = np.loadtxt(os.path.join(ckpt, "perfs-midair.txt"))
         assert np.all(np.isfinite(perfs))
 
+    def test_predict_mode_traces_when_log_dir_set(self, fixture_env,
+                                                  tmp_path):
+        """Predict-mode device tracing (the reference's
+        ProfilePredictCallback, callbacks.py:24-67): --log_dir must produce
+        a profiler dump even when the stream ends inside the trace window."""
+        root, records, cfg = fixture_env
+        import glob as globlib
+
+        from m4depth_tpu.cli.main import main
+
+        logs = str(tmp_path / "predict_logs")
+        rc = main([
+            "--mode=predict", "--dataset=midair",
+            f"--db_path_config={cfg}",
+            f"--records_path={records}",
+            f"--ckpt_dir={tmp_path / 'ckpt_pt'}",
+            f"--log_dir={logs}",
+            "--arch_depth=2", "--out_size", "32", "32",
+            "--num_workers=2", "--compute_dtype=float32",
+        ])
+        assert rc == 0
+        assert globlib.glob(os.path.join(logs, "plugins", "profile", "*"))
+
     def test_promote_without_best_fails(self, tmp_path):
         from m4depth_tpu.cli.main import main
 

@@ -262,6 +262,89 @@ class TestDSCV:
         for g in grads:
             assert np.all(np.isfinite(np.array(g)))
 
+    def test_split_para_hyps_restriction_matches_center(self):
+        """The production path passes para_hyps=(r,): its single warped-
+        parallax channel must equal channel r of both the full split output
+        and the gather impl (the decoder indexes it as channel 0 —
+        m4depth_network.py:238-241 consumes only the center hypothesis)."""
+        rng = np.random.RandomState(21)
+        b, h, w, C = 2, 10, 12, 8
+        r = 4
+        cam = make_camera(b, f=(9.0, 8.0), c=(6.0, 5.0))
+        rot = jnp.asarray(np.stack([
+            np.array([1.0, 0.02, -0.01, 0.0]) / np.linalg.norm(
+                [1.0, 0.02, -0.01, 0.0]),
+            np.array([1.0, 0, 0.03, -0.01]) / np.linalg.norm(
+                [1.0, 0, 0.03, -0.01])]).astype(np.float32))
+        trans = jnp.asarray(
+            np.array([[0.2, -0.1, 0.6], [0.1, 0.3, 0.9]], np.float32))
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(
+            rng.uniform(0.5, 3, (b, h, w, 1)).astype(np.float32))
+        center = jnp.asarray(
+            rng.uniform(0.2, 6.0, (b, h, w, 1)).astype(np.float32))
+
+        cv_full, pw_full = parallax_sweeping_cv_split(
+            c1, c2, para_t, center, rot, trans, cam, r, num_cuts=2,
+            cv_dtype=jnp.float32, n_chunks=3)
+        cv_rest, pw_rest = parallax_sweeping_cv_split(
+            c1, c2, para_t, center, rot, trans, cam, r, num_cuts=2,
+            cv_dtype=jnp.float32, n_chunks=3, para_hyps=(r,))
+        _, pw_gather = parallax_sweeping_cv(
+            c1, c2, para_t, center, rot, trans, cam, r, num_cuts=2,
+            cv_dtype=jnp.float32)
+
+        assert pw_rest.shape[-1] == 1
+        np.testing.assert_allclose(np.array(cv_rest), np.array(cv_full),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.array(pw_rest)[..., 0], np.array(pw_full)[..., r],
+            rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.array(pw_rest)[..., 0], np.array(pw_gather)[..., r],
+            rtol=1e-4, atol=1e-4)
+
+    @pytest.mark.parametrize("impls", [("split", "gather")])
+    def test_model_level_split_vs_gather_forward(self, impls):
+        """Full-model forward equivalence between the production split DSCV
+        and the gather impl (catches a wrong hypothesis index in the
+        restricted para_hyps path at the composition level)."""
+        import jax as _jax
+
+        from m4depth_tpu.config import ModelConfig
+        from m4depth_tpu.models import M4Depth
+        from m4depth_tpu.train import batch_camera
+
+        rng = np.random.RandomState(3)
+        b, T, h, w = 1, 3, 16, 16
+        batch = {
+            "rgb": rng.rand(b, T, h, w, 3).astype(np.float32),
+            "rot": np.tile(np.array([1.0, 0, 0, 0], np.float32), (b, T, 1)),
+            "trans": np.tile(np.array([0.05, 0.01, 0.3], np.float32),
+                             (b, T, 1)),
+            "camera_f": np.full((b, 2), 8.0, np.float32),
+            "camera_c": np.full((b, 2), 8.0, np.float32),
+        }
+        outs = {}
+        params = None
+        for impl in impls[::-1]:
+            cfg = ModelConfig(num_levels=2, encoder_channels=(8, 12),
+                              refiner_prep_channels=(16, 16, 8),
+                              refiner_est_channels=(8, 8, 5),
+                              compute_dtype="float32", cv_dtype="float32",
+                              dscv_impl=impl)
+            model = M4Depth(cfg)
+            if params is None:
+                params = _jax.jit(model.init)(
+                    _jax.random.PRNGKey(0), batch["rgb"], batch["rot"],
+                    batch["trans"], batch_camera(batch))
+            pyrs = model.apply(params, batch["rgb"], batch["rot"],
+                               batch["trans"], batch_camera(batch))
+            outs[impl] = np.array(pyrs[-1][0].depth)
+        np.testing.assert_allclose(outs["split"], outs["gather"],
+                                   rtol=2e-3, atol=2e-3)
+
     def test_warped_prev_parallax_center_channel(self):
         """Channel r of the warped temporal parallax equals a warp of
         para_prev_t by the center-hypothesis flow."""

@@ -106,10 +106,18 @@ def main():
             "/tmp/m4depth_fps_prof/plugins/profile/*/*.trace.json.gz")
         with gzip.open(max(paths, key=os.path.getmtime), "rt") as fh:
             trace = jsonlib.load(fh)
+        # the device lane is the pid carrying the most XLA-op time (robust
+        # across jax.profiler versions/devices, unlike a hardcoded pid)
+        by_pid = defaultdict(float)
+        for ev in trace["traceEvents"]:
+            if ev.get("ph") == "X" and not ev.get("name", "").startswith(
+                    "jit_"):
+                by_pid[ev.get("pid")] += ev.get("dur", 0.0)
+        device_pid = max(by_pid, key=by_pid.get) if by_pid else None
         per = defaultdict(float)
         agg = defaultdict(float)
         for ev in trace["traceEvents"]:
-            if ev.get("ph") != "X" or ev.get("pid") != 3:
+            if ev.get("ph") != "X" or ev.get("pid") != device_pid:
                 continue
             nm = ev.get("name", "?")
             if nm.startswith("jit_"):
