@@ -96,11 +96,18 @@ def port_reference_checkpoint(
     model = ref.network.M4Depth(
         depth_type=depth_type, nbre_levels=nbre_levels, is_training=True)
     h, w = sample_hw
-    rgb = np.zeros((1, 2, h, w, 3), np.float32)
+    # random (not zero) frames: an all-zero build pass collapses the
+    # reference's depth estimate to 0 and its warp coordinates to NaN
+    rgb = np.random.RandomState(0).rand(1, 2, h, w, 3).astype(np.float32)
     rot = np.tile(np.array([1.0, 0, 0, 0], np.float32), (1, 2, 1))
     trans = np.tile(np.array([0.0, 0, 0.3], np.float32), (1, 2, 1))
-    camera = {"f": np.full((1, 2), w / 2.0, np.float32),
-              "c": np.full((1, 2), w / 2.0, np.float32)}
+    camera = {"f": np.array([[w * 0.6, h * 0.6]], np.float32),
+              "c": np.array([[w * 0.5, h * 0.5]], np.float32)}
     run_reference_window(ref, model, rgb, rot, trans, camera)  # build vars
+    # Keras 3 gates save/load_weights on the outer `built` flag, which stays
+    # False when sublayers are driven directly (ref_driver cannot call the
+    # original fit/predict path, see ref_driver.py). All variables exist at
+    # this point, so the flag is safe to set.
+    model.built = True
     model.load_weights(weights_path)
     return port_reference_model(model)

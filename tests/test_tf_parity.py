@@ -457,6 +457,102 @@ def test_streaming_eval_parity(ref, ported_setup):
         assert np.median(rel) < 2e-3, f"frame {t}: median rel {np.median(rel)}"
 
 
+# ------------------------------------------- production-config model parity
+
+
+def test_full_model_d6_split_parity(ref):
+    """Model-level parity at the SHIPPED production stack: 6 levels and the
+    chunked split DSCV with forced multi-chunking (the round-2 tests pinned
+    dscv_impl='gather' and 3 levels, leaving the production composition
+    unproven). fp16 CV on both sides (the reference hardcodes fp16,
+    depth_operations.py:276-278); 128x128 frames keep TF-CPU runtime bounded
+    while still exercising all six pyramid levels (deepest at 2x2 — the
+    reference's own sweep indexing breaks on 1x1 maps)."""
+    from m4depth_tpu.config import ModelConfig
+    from m4depth_tpu.geometry import Camera
+    from m4depth_tpu.interop.weight_port import port_reference_model
+    from m4depth_tpu.models import M4Depth
+
+    b, T, h, w = 1, 3, 128, 128
+    rgb, rot, trans = _traj_inputs(b, T, h, w, seed=41)
+    cam, cam_tf = make_cameras(b, h, w)
+
+    ref_model = _ref_train_model(ref, num_levels=6)
+    ref_out = _run_reference_window(ref, ref_model, rgb, rot, trans, cam_tf)
+    params = port_reference_model(ref_model)
+
+    cfg = ModelConfig(num_levels=6, compute_dtype="float32",
+                      cv_dtype="float16", dscv_impl="split",
+                      # tiny budget: the finest level's fetch really chunks
+                      dscv_chunk_bytes=64 << 10)
+    model = M4Depth(cfg)
+    preds = model.apply(params, rgb, rot, trans, Camera(f=cam.f, c=cam.c))
+
+    for t in range(len(ref_out)):
+        for lvl in range(len(ref_out[t])):
+            exp_depth = ref_out[t][lvl]["depth"].numpy()
+            got_depth = np.asarray(preds[t][lvl].depth)
+            # deeper recurrence (6 levels x 3 frames) amplifies the fp16 CV
+            # floor more than the 3-level window test; keep a tight median
+            # but allow fatter tails
+            rel = np.abs(got_depth - exp_depth) / (np.abs(exp_depth) + 1e-6)
+            assert np.median(rel) < 5e-3, (
+                f"median rel err {np.median(rel):.2e} at frame {t} lvl {lvl}")
+            np.testing.assert_allclose(
+                got_depth, exp_depth, rtol=6e-2, atol=6e-2,
+                err_msg=f"depth mismatch at frame {t} level {lvl}")
+
+
+def test_port_reference_checkpoint_h5_roundtrip(ref, tmp_path):
+    """``port_reference_checkpoint`` proven end-to-end before real released
+    weights ever arrive (README.md:155-163 contract): save a built reference
+    model's weights to .h5 the way the reference does
+    (callbacks.py:119-129), port through the public checkpoint entry point
+    (which rebuilds + load_weights itself), and require exact agreement with
+    the direct in-memory port."""
+    import jax
+
+    b, T, h, w = 1, 2, 32, 40
+    rgb, rot, trans = _traj_inputs(b, T, h, w, seed=77)
+    cam, cam_tf = make_cameras(b, h, w)
+
+    ref_model = _ref_train_model(ref, num_levels=3)
+    _run_reference_window(ref, ref_model, rgb, rot, trans, cam_tf)  # build
+    ref_model.built = True  # vars exist; Keras 3 gates save on this flag
+    path = str(tmp_path / "latest_ckpt.weights.h5")
+    ref_model.save_weights(path)
+
+    from m4depth_tpu.interop.weight_port import (
+        port_reference_checkpoint,
+        port_reference_model,
+    )
+
+    direct = port_reference_model(ref_model)
+    ported = port_reference_checkpoint(path, nbre_levels=3,
+                                       sample_hw=(h, w))
+
+    d_leaves, d_tree = jax.tree_util.tree_flatten(direct)
+    p_leaves, p_tree = jax.tree_util.tree_flatten(ported)
+    assert d_tree == p_tree
+    for dl, plv in zip(d_leaves, p_leaves):
+        np.testing.assert_array_equal(np.asarray(dl), np.asarray(plv))
+
+    # and the ported params drive our model to the reference's output
+    from m4depth_tpu.config import ModelConfig
+    from m4depth_tpu.geometry import Camera
+    from m4depth_tpu.models import M4Depth
+
+    cfg = ModelConfig(num_levels=3, compute_dtype="float32",
+                      cv_dtype="float16", dscv_impl="split")
+    preds = M4Depth(cfg).apply(ported, rgb, rot, trans,
+                               Camera(f=cam.f, c=cam.c))
+    ref_out = _run_reference_window(ref, ref_model, rgb, rot, trans, cam_tf)
+    exp = ref_out[-1][0]["depth"].numpy()
+    got = np.asarray(preds[-1][0].depth)
+    rel = np.abs(got - exp) / (np.abs(exp) + 1e-6)
+    assert np.median(rel) < 2e-3
+
+
 # ------------------------------------------------- augmentation cross-check
 class _ForcedRng:
     """Stands in for RandomState: forces augmentation branch decisions."""
