@@ -52,12 +52,21 @@ class ModelConfig:
                                       # depth_operations.py:276-278; bf16 is TPU-native)
     dscv_impl: str = "split"          # "split": chunked expanded-shift DSCV
                                       # (default; fast-regime row gathers);
+                                      # "fused": split build/gather + Pallas
+                                      # fused reduce (forward-only — the
+                                      # serving/eval fast path);
                                       # "flat": single-fetch expanded form;
                                       # "expanded": spatial-layout expanded
                                       # form; "gather": direct per-hypothesis
                                       # warp (reference formulation)
     sncv_impl: str = "xla"            # "xla": static-slice formulation;
                                       # "pallas": fused VMEM-resident kernel
+    dscv_store_int8: bool = False     # store the expanded c2 map int8
+                                      # (features are L2-normalized so the
+                                      # 127-scale is exact-range; halves the
+                                      # dominant DSCV memory traffic).
+                                      # Forward/serving option; training
+                                      # keeps the bf16 store
     dscv_chunk_bytes: int = 30 << 20  # split the expanded-map fetch into
                                       # dx-chunks no larger than this: XLA's
                                       # row gather falls off a ~8x throughput

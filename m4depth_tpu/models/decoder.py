@@ -36,6 +36,7 @@ from m4depth_tpu.ops.cost_volume import (
     parallax_sweeping_cv,
     parallax_sweeping_cv_expanded,
     parallax_sweeping_cv_flat,
+    parallax_sweeping_cv_fused,
     parallax_sweeping_cv_split,
     spatial_cost_volume,
 )
@@ -196,13 +197,17 @@ class DecoderLevel(nn.Module):
         # the model only consumes the center hypothesis' warped parallax
         # (parity: m4depth_network.py:238-241); "split" supports skipping the
         # weight contraction for the rest, the other impls return all 2r+1
-        para_hyps = ((center,) if self.cfg.dscv_impl == "split"
+        para_hyps = ((center,) if self.cfg.dscv_impl in ("split", "fused")
                      else tuple(range(2 * center + 1)))
         dscv = {
             "split": functools.partial(
                 parallax_sweeping_cv_split,
                 chunk_bytes=self.cfg.dscv_chunk_bytes,
-                para_hyps=para_hyps),
+                para_hyps=para_hyps,
+                store_int8=self.cfg.dscv_store_int8),
+            "fused": functools.partial(
+                parallax_sweeping_cv_fused,
+                chunk_bytes=self.cfg.dscv_chunk_bytes),
             "flat": parallax_sweeping_cv_flat,
             "expanded": parallax_sweeping_cv_expanded,
             "gather": parallax_sweeping_cv,

@@ -172,8 +172,18 @@ def parallax_sweeping_cv_split(
     n_chunks: int = 0,
     chunk_bytes: int = 60 << 20,
     para_hyps: Optional[Tuple[int, ...]] = None,
+    store_int8: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expanded-shift DSCV with the fetch split into dx-chunks.
+
+    ``store_int8``: store the expanded c2 map as int8 (features are per-cut
+    L2-normalized so every element is exactly in [-1, 1] — a 127-scale
+    quantization whose rounding noise (~0.4%) matches bf16's own epsilon).
+    HALVES every build/gather/read byte of the dominant expanded-map
+    traffic. The temporal-parallax channel (unbounded range) then leaves
+    the expanded map entirely and is bilinearly warped directly instead —
+    numerically it only loses the bf16 rounding the patch path had.
+    Forward-path option for serving/eval; training keeps bf16.
 
     ``para_hyps``: optionally restrict the returned warped-parallax channels
     to these hypothesis indices (the model only consumes the center one,
@@ -193,9 +203,10 @@ def parallax_sweeping_cv_split(
     s = 2 * search_range + 1
     d = 2 * search_range + 2
     cc = C // num_cuts
-    ch = C + 1
+    ch = C if store_int8 else C + 1
     if n_chunks <= 0:                 # auto: keep each fetch operand under
-        total = b * n * d * d * ch * jnp.dtype(cv_dtype).itemsize
+        itemsize = 1 if store_int8 else jnp.dtype(cv_dtype).itemsize
+        total = b * n * d * d * ch * itemsize
         n_chunks = min(d, max(1, -(-total // chunk_bytes)))
 
     e = epipolar_terms(h, w, rot, trans, camera)
@@ -209,10 +220,14 @@ def parallax_sweeping_cv_split(
     qx, qy = q[..., 0], q[..., 1]
     cx = jnp.clip(jnp.floor(qx[..., search_range]), 0, w - 1).astype(jnp.int32)
     cy = jnp.clip(jnp.floor(qy[..., search_range]), 0, h - 1).astype(jnp.int32)
-    idx = (cy * w + cx).reshape(b, n, 1)
 
-    combined = jnp.concatenate(
-        [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
+    if store_int8:
+        combined = jnp.round(
+            jnp.clip(c2.astype(jnp.float32), -1.0, 1.0) * 127.0
+        ).astype(jnp.int8)
+    else:
+        combined = jnp.concatenate(
+            [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
     padded = jnp.pad(
         combined,
         ((0, 0), (search_range, search_range + 1),
@@ -221,10 +236,18 @@ def parallax_sweeping_cv_split(
     exp_y = jnp.concatenate(
         [padded[:, dy:dy + h, :, :] for dy in range(d)], axis=-1)
 
+    idx = (cy * w + cx).reshape(b, n, 1)
+
     # chunked x-expansion + fetch: (dx-major, dy, ch) within each chunk
+    # (NOTE round 3: a flat-2D {1,0} rebuild of this expansion — chunk
+    # pieces as contiguous row-shifted slabs — measured SLOWER end-to-end
+    # (188 vs 196 fps): the relayout this avoids on the build side
+    # reappears in front of the pixel-minor reduce chain.)
     bounds = [round(i * d / n_chunks) for i in range(n_chunks + 1)]
     corr_parts, para_parts = [], []
     c1r = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
+    if store_int8:
+        c1r = c1r * jnp.asarray(1.0 / 127.0, cv_dtype)    # fold dequant in
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         nd = hi - lo
         expanded = jnp.concatenate(
@@ -233,11 +256,15 @@ def parallax_sweeping_cv_split(
         fetched = jnp.take_along_axis(flat, idx, axis=1,
                                       mode="promise_in_bounds")
         patch = fetched.reshape(b, n, nd, d, ch)
-        feat = patch[..., :C].reshape(b, n, nd, d, num_cuts, cc)
+        feat = patch[..., :C]
+        if store_int8:
+            feat = feat.astype(cv_dtype)
+        feat = feat.reshape(b, n, nd, d, num_cuts, cc)
         corr_parts.append((c1r * feat).mean(axis=-1))     # [b,n,nd,d,cuts]
-        para_parts.append(patch[..., C])                  # [b,n,nd,d]
+        if not store_int8:
+            para_parts.append(patch[..., C])              # [b,n,nd,d]
     corr = jnp.concatenate(corr_parts, axis=2)            # [b,n,dx,dy,cuts]
-    para_patch = jnp.concatenate(para_parts, axis=2)
+    para_patch = None if store_int8 else jnp.concatenate(para_parts, axis=2)
 
     x0 = jnp.clip(jnp.floor(qx), 0, w - 2)
     y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
@@ -254,16 +281,144 @@ def parallax_sweeping_cv_split(
 
     t1 = (corr[:, :, None] * wy[:, :, :, None, :, None]).sum(axis=4)
     cv = (t1 * wx[..., None]).sum(axis=3)
-    wxp, wyp = wx, wy
-    if para_hyps is not None:
-        ks = list(para_hyps)
-        wxp, wyp = wx[:, :, ks], wy[:, :, ks]
+    ks = list(para_hyps) if para_hyps is not None else list(range(s))
+    if store_int8:
+        # the parallax channel left the (now int8) expanded map; warp it
+        # directly per requested hypothesis (same clamped-bilinear taps the
+        # patch contraction applies, minus one bf16 rounding)
+        gx = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w)
+        gy = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1)
+        qs = q.reshape(b, h, w, s, 2)
+        pw = [dense_image_warp(
+                  para_prev_t.astype(cv_dtype),
+                  jnp.stack([qs[..., k, 0] - gx, qs[..., k, 1] - gy],
+                            axis=-1))[..., 0]
+              for k in ks]
+        para_w = jnp.stack(pw, axis=-1)                   # [b,h,w,len(ks)]
+        cv = cv.transpose(0, 1, 3, 2).reshape(b, h, w, num_cuts * s)
+        return cv.astype(jnp.float32), para_w.astype(jnp.float32)
+    wxp, wyp = wx[:, :, ks], wy[:, :, ks]
     p1 = (para_patch[:, :, None] * wyp[:, :, :, None]).sum(axis=-1)
     para_w = (p1 * wxp).sum(axis=-1)
 
     cv = cv.transpose(0, 1, 3, 2).reshape(b, h, w, num_cuts * s)
     para_w = para_w.reshape(b, h, w, -1)
     return cv.astype(jnp.float32), para_w.astype(jnp.float32)
+
+
+def parallax_sweeping_cv_fused(
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    para_prev_t: jnp.ndarray,
+    para_sweep_center: jnp.ndarray,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    camera: Camera,
+    search_range: int,
+    num_cuts: int = 1,
+    cv_dtype: jnp.dtype = jnp.bfloat16,
+    chunk_bytes: int = 30 << 20,
+    min_rows_for_kernel: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split DSCV with the post-gather reduce fused into a Pallas kernel.
+
+    Build + gather are identical to :func:`parallax_sweeping_cv_split`; the
+    per-chunk correlation/weight contraction runs in
+    ``ops/dscv_pallas.py::fused_reduce_chunk``, consuming the gather's
+    native row-major layout (kills the pixel-minor relayout + reshape copies
+    XLA inserts around the reduce chain — see DEVELOPMENT.md). Returns the
+    center hypothesis' warped parallax only (the model consumes only that,
+    m4depth_network.py:238-241). Forward-only (no VJP): serving/eval path.
+
+    Levels with fewer than ``min_rows_for_kernel`` pixels fall back to the
+    split implementation (their reduce cost is negligible and tiny grids
+    waste kernel overhead).
+    """
+    b, h, w, C = c1.shape
+    n = h * w
+    s = 2 * search_range + 1
+    if b * n < min_rows_for_kernel:
+        return parallax_sweeping_cv_split(
+            c1, c2, para_prev_t, para_sweep_center, rot, trans, camera,
+            search_range, num_cuts=num_cuts, cv_dtype=cv_dtype,
+            chunk_bytes=chunk_bytes, para_hyps=(search_range,))
+
+    from m4depth_tpu.ops.dscv_pallas import fused_reduce_chunk
+
+    d = 2 * search_range + 2
+    ch = C + 1
+    # bytes rule as split, plus a VMEM bound on the kernel's constant
+    # matrices: Kc = nd*d*ch small enough that S [Kc, ~(cuts+1)*nd*d] and a
+    # tile of fetched rows fit comfortably
+    total = b * n * d * d * ch * jnp.dtype(cv_dtype).itemsize
+    n_chunks = min(d, max(1, -(-total // chunk_bytes),
+                          -(-d // max(1, 3400 // (d * ch)))))
+
+    e = epipolar_terms(h, w, rot, trans, camera)
+    unit = (e.delta / jnp.maximum(e.rho, 1e-12)).reshape(b, n, 1, 2)
+    proj = e.proj.reshape(b, n, 1, 2)
+    disp0 = jnp.clip(para_sweep_center, 1e-6, 1e6).reshape(b, n, 1)
+    grid_off = camera.c.reshape(b, 1, 1, 2) - 0.5
+    offsets = jnp.arange(-search_range, search_range + 1, dtype=jnp.float32)
+    disp_k = jnp.clip(disp0 + offsets.reshape(1, 1, -1), 1e-6, 1e6)
+    q = proj + unit * disp_k[..., None] + grid_off        # [b,n,s,2]
+    qx, qy = q[..., 0], q[..., 1]
+    cx = jnp.clip(jnp.floor(qx[..., search_range]), 0, w - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor(qy[..., search_range]), 0, h - 1).astype(jnp.int32)
+    idx = (cy * w + cx).reshape(b, n, 1)
+
+    x0 = jnp.clip(jnp.floor(qx), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
+    ax = jnp.clip(qx - x0, 0.0, 1.0)
+    ay = jnp.clip(qy - y0, 0.0, 1.0)
+    relx = x0.astype(jnp.int32) - cx[..., None]
+    rely = y0.astype(jnp.int32) - cy[..., None]
+    dgrid = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, d), 3) - search_range
+    wx = ((dgrid == relx[..., None]) * (1.0 - ax[..., None])
+          + (dgrid == relx[..., None] + 1) * ax[..., None])   # [b,n,s,d]
+    wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
+          + (dgrid == rely[..., None] + 1) * ay[..., None])
+
+    combined = jnp.concatenate(
+        [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
+    padded = jnp.pad(
+        combined,
+        ((0, 0), (search_range, search_range + 1),
+         (search_range, search_range + 1), (0, 0)),
+        mode="edge")
+    exp_y = jnp.concatenate(
+        [padded[:, dy:dy + h, :, :] for dy in range(d)], axis=-1)
+
+    # NHWC-shaped side inputs/outputs so the kernel's operand layout
+    # requirements cannot leak pixel-rows layouts into the encoder convs
+    # (see ops/dscv_pallas.py module docstring)
+    c1_hw = c1.astype(jnp.bfloat16).reshape(b * h, w, C)
+    wy16 = wy.astype(jnp.bfloat16)                       # [b,n,s,d] k-major
+    bounds = [round(i * d / n_chunks) for i in range(n_chunks + 1)]
+    acc = None
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        nd = hi - lo
+        expanded = jnp.concatenate(
+            [exp_y[:, :, dx:dx + w, :] for dx in range(lo, hi)], axis=-1)
+        flat = expanded.reshape(b, n, nd * d * ch)
+        fetched = jnp.take_along_axis(flat, idx, axis=1,
+                                      mode="promise_in_bounds")
+        wxy_hw = jnp.concatenate(
+            [wx[..., lo:hi].astype(jnp.bfloat16).reshape(b * n, s * nd),
+             wy16.reshape(b * n, s * d)],
+            axis=-1).reshape(b * h, w, s * (nd + d))
+        part = fused_reduce_chunk(
+            fetched.reshape(b * n, nd * d * ch), c1_hw, wxy_hw,
+            C=C, cuts=num_cuts, nd=nd, d=d, s=s, center=search_range)
+        acc = part if acc is None else acc + part
+
+    # channels are (k-major, cut-minor) then the parallax channel; the
+    # model wants cut-major / hypothesis-minor
+    cv = acc[..., :s * num_cuts].reshape(b, h, w, s, num_cuts)
+    cv = cv.transpose(0, 1, 2, 4, 3).reshape(b, h, w, num_cuts * s)
+    para_w = acc[..., -1:].reshape(b, h, w, 1)
+    return cv, para_w
 
 
 def parallax_sweeping_cv(

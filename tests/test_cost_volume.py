@@ -369,3 +369,86 @@ class TestDSCV:
         np.testing.assert_allclose(
             np.array(para_w)[..., 4:5], np.array(expected), rtol=1e-4, atol=1e-5
         )
+
+
+class TestFusedAndInt8Variants:
+    """Round-3 forward-path variants: the Pallas fused reduce
+    (dscv_impl='fused') and the int8 expanded-map store. Both are
+    config-gated serving options; parity is against the split impl."""
+
+    def _inputs(self, b=1, h=48, w=64, C=16, seed=0):
+        # h*w >= 2048 so the fused impl actually takes the kernel path
+        rng = np.random.RandomState(seed)
+
+        def norm(x):
+            sq = (x * x).sum(-1, keepdims=True)
+            return x / np.sqrt(np.maximum(sq, 1e-12))
+
+        c1 = jnp.asarray(norm(rng.randn(b, h, w, C)).astype(np.float32))
+        c2 = jnp.asarray(norm(rng.randn(b, h, w, C)).astype(np.float32))
+        para = jnp.asarray((rng.rand(b, h, w, 1) * 3).astype(np.float32))
+        center = jnp.asarray(
+            (0.5 + rng.rand(b, h, w, 1) * 4).astype(np.float32))
+        rot = jnp.asarray(np.tile([[1.0, 0.002, -0.001, 0.0005]], (b, 1))
+                          .astype(np.float32))
+        trans = jnp.asarray(np.tile([[0.05, 0.02, 0.4]], (b, 1))
+                            .astype(np.float32))
+        cam = Camera(
+            f=jnp.full((b, 2), w * 0.6),
+            c=jnp.asarray(np.tile([[w / 2, h / 2]], (b, 1))
+                          .astype(np.float32)))
+        return c1, c2, para, center, rot, trans, cam
+
+    @pytest.mark.parametrize("cuts", [1, 2])
+    def test_fused_matches_split(self, cuts):
+        from m4depth_tpu.ops.cost_volume import parallax_sweeping_cv_fused
+
+        c1, c2, para, center, rot, trans, cam = self._inputs()
+        cv_s, pw_s = parallax_sweeping_cv_split(
+            c1, c2, para, center, rot, trans, cam, 4, num_cuts=cuts,
+            para_hyps=(4,))
+        cv_f, pw_f = parallax_sweeping_cv_fused(
+            c1, c2, para, center, rot, trans, cam, 4, num_cuts=cuts)
+        # differences are split's bf16 rounding of corr (the kernel keeps
+        # f32 after the MXU) — bf16-epsilon scale
+        np.testing.assert_allclose(np.asarray(cv_f), np.asarray(cv_s),
+                                   rtol=2e-2, atol=6e-3)
+        np.testing.assert_allclose(np.asarray(pw_f), np.asarray(pw_s),
+                                   rtol=2e-2, atol=3e-2)
+
+    def test_fused_small_level_falls_back_to_split(self):
+        from m4depth_tpu.ops.cost_volume import parallax_sweeping_cv_fused
+
+        c1, c2, para, center, rot, trans, cam = self._inputs(h=16, w=16)
+        cv_s, pw_s = parallax_sweeping_cv_split(
+            c1, c2, para, center, rot, trans, cam, 4, para_hyps=(4,))
+        cv_f, pw_f = parallax_sweeping_cv_fused(
+            c1, c2, para, center, rot, trans, cam, 4)
+        np.testing.assert_array_equal(np.asarray(cv_f), np.asarray(cv_s))
+        np.testing.assert_array_equal(np.asarray(pw_f), np.asarray(pw_s))
+
+    @pytest.mark.parametrize("cuts", [1, 2])
+    def test_int8_store_matches_bf16(self, cuts):
+        c1, c2, para, center, rot, trans, cam = self._inputs()
+        cv_a, pw_a = parallax_sweeping_cv_split(
+            c1, c2, para, center, rot, trans, cam, 4, num_cuts=cuts,
+            para_hyps=(4,))
+        cv_b, pw_b = parallax_sweeping_cv_split(
+            c1, c2, para, center, rot, trans, cam, 4, num_cuts=cuts,
+            para_hyps=(4,), store_int8=True)
+        # int8 rounding noise (1/254 per element) is bf16-epsilon scale;
+        # the warped parallax differs only by one fewer bf16 rounding
+        np.testing.assert_allclose(np.asarray(cv_b), np.asarray(cv_a),
+                                   rtol=2e-2, atol=4e-3)
+        np.testing.assert_allclose(np.asarray(pw_b), np.asarray(pw_a),
+                                   rtol=2e-2, atol=4e-2)
+
+    def test_int8_para_hyps_all(self):
+        c1, c2, para, center, rot, trans, cam = self._inputs()
+        _, pw_a = parallax_sweeping_cv_split(
+            c1, c2, para, center, rot, trans, cam, 4)
+        _, pw_b = parallax_sweeping_cv_split(
+            c1, c2, para, center, rot, trans, cam, 4, store_int8=True)
+        assert pw_b.shape == pw_a.shape
+        np.testing.assert_allclose(np.asarray(pw_b), np.asarray(pw_a),
+                                   rtol=2e-2, atol=4e-2)

@@ -106,14 +106,20 @@ def main():
             "/tmp/m4depth_fps_prof/plugins/profile/*/*.trace.json.gz")
         with gzip.open(max(paths, key=os.path.getmtime), "rt") as fh:
             trace = jsonlib.load(fh)
-        # the device lane is the pid carrying the most XLA-op time (robust
-        # across jax.profiler versions/devices, unlike a hardcoded pid)
+        # the device lane: prefer the pid whose process_name metadata says
+        # /device: (host lanes carry python-frame events that can dominate a
+        # duration-based pick); fall back to most XLA-op time
+        device_pid = None
         by_pid = defaultdict(float)
         for ev in trace["traceEvents"]:
+            if (ev.get("ph") == "M" and ev.get("name") == "process_name"
+                    and "/device:" in str(ev.get("args", {}).get("name"))):
+                device_pid = ev.get("pid")
             if ev.get("ph") == "X" and not ev.get("name", "").startswith(
                     "jit_"):
                 by_pid[ev.get("pid")] += ev.get("dur", 0.0)
-        device_pid = max(by_pid, key=by_pid.get) if by_pid else None
+        if device_pid is None:
+            device_pid = max(by_pid, key=by_pid.get) if by_pid else None
         per = defaultdict(float)
         agg = defaultdict(float)
         for ev in trace["traceEvents"]:
