@@ -290,6 +290,8 @@ def main(argv=None):
     if cmd.mode in ("train", "finetune"):
         from m4depth_tpu.train.loop import fit
 
+        if getattr(cmd, "augment_device", False):
+            cmd.no_augmentation = True  # host pipeline only decodes
         dataset = build_dataset(
             cmd, "finetune" if cmd.mode == "finetune" else "train",
             db_paths, cmd.batch_size)
@@ -317,8 +319,15 @@ def main(argv=None):
                      + 1) * len(dataset)
         else:
             total = cmd.total_steps
+        augment_fn = None
+        if getattr(cmd, "augment_device", False):
+            from m4depth_tpu.data.augment_device import make_batch_augment
+
+            augment_fn = make_batch_augment(
+                dataset=cmd.dataset,
+                usecase="finetune" if cmd.mode == "finetune" else "train")
         fit(model, dataset, tcfg, total_steps=total, resume=True,
-            validation_fn=validation_fn)
+            validation_fn=validation_fn, augment_fn=augment_fn)
 
     elif cmd.mode in ("eval", "validation"):
         from m4depth_tpu.eval import (

@@ -60,6 +60,11 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--summary_interval", default=1200, type=int)
     g.add_argument("--save_interval", default=2, type=int)
     g.add_argument("--no_augmentation", default=False, action="store_true")
+    g.add_argument("--augment_device", default=False, action="store_true",
+                   help="run augmentation on-device inside the jitted train "
+                        "step (data/augment_device.py) instead of host "
+                        "numpy; removes the host augment bottleneck "
+                        "(DEVELOPMENT.md io_bench)")
     # accepted for 1:1 reference-script compatibility; both are vestigial
     # there too (conf_err_rate is declared but never consumed,
     # m4depth_options.py:51; disable_xla toggles a TF env flag with no JAX

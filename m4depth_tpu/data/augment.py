@@ -56,32 +56,57 @@ def hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
     return out
 
 
+def color_param_ranges(finetune: bool):
+    """(lo, hi, max_hue) jitter ranges. Parity: generic.py:189-212 train
+    0.75/1.25 hue 0.4; finetune 0.8/1.2 hue 0.2."""
+    return (0.8, 1.2, 0.2) if finetune else (0.75, 1.25, 0.4)
+
+
+def sample_color_params(rng: np.random.RandomState, finetune: bool = False,
+                        invert_color: bool = True) -> Dict[str, float]:
+    """Draw one sequence's color-jitter parameters (draw ORDER is part of
+    the determinism contract with seeded pipelines — keep stable)."""
+    lo, hi, max_hue = color_param_ranges(finetune)
+    return {
+        "brightness": rng.uniform(-0.2, 0.2),
+        "contrast": rng.uniform(lo, hi),
+        "saturation": rng.uniform(lo, hi),
+        "hue": rng.uniform(-max_hue, max_hue),
+        "invert": float(invert_color and rng.uniform() < 0.5),
+    }
+
+
+def apply_color(rgb: np.ndarray, p: Dict[str, float]) -> np.ndarray:
+    """Deterministic color transform given drawn parameters.
+
+    rgb: [T, h, w, 3] in [0, 1]. The same math runs on-device in
+    data/augment_device.py; parity between the two is unit-tested.
+    """
+    out = rgb.astype(np.float32)
+    out = out + np.float32(p["brightness"])
+    mean = out.mean(axis=(1, 2), keepdims=True)            # contrast
+    out = (out - mean) * np.float32(p["contrast"]) + mean
+
+    # saturation + hue via HSV (values clipped into [0,1] first: TF's HSV
+    # ops assume that range)
+    hsv = rgb_to_hsv(np.clip(out, 0.0, 1.0))
+    hsv[..., 1] = np.clip(hsv[..., 1] * np.float32(p["saturation"]), 0.0, 1.0)
+    hsv[..., 0] = (hsv[..., 0] + np.float32(p["hue"])) % 1.0
+    out = hsv_to_rgb(hsv)
+    if p["invert"]:
+        out = 1.0 - out
+    return out.astype(np.float32)
+
+
 def color_augment(rgb: np.ndarray, rng: np.random.RandomState,
                   finetune: bool = False, invert_color: bool = True) -> np.ndarray:
     """Brightness/contrast/saturation/hue jitter + optional color inversion.
 
     rgb: [T, h, w, 3] in [0, 1]. One draw per sequence.
-    Parity: dataloaders/generic.py:189-212 (train ranges 0.75/1.25, hue 0.4;
-    finetune ranges 0.8/1.2, hue 0.2; inversion prob 0.5 unless disabled —
-    KITTI disables it, dataloaders/kitti.py:51-53).
+    Parity: dataloaders/generic.py:189-212 (inversion prob 0.5 unless
+    disabled — KITTI disables it, dataloaders/kitti.py:51-53).
     """
-    lo, hi, max_hue = (0.8, 1.2, 0.2) if finetune else (0.75, 1.25, 0.4)
-    out = rgb.astype(np.float32)
-
-    out = out + rng.uniform(-0.2, 0.2)                     # brightness
-    mean = out.mean(axis=(1, 2), keepdims=True)            # contrast
-    out = (out - mean) * rng.uniform(lo, hi) + mean
-
-    # saturation + hue via HSV (values clipped into [0,1] first: TF's HSV
-    # ops assume that range)
-    hsv = rgb_to_hsv(np.clip(out, 0.0, 1.0))
-    hsv[..., 1] = np.clip(hsv[..., 1] * rng.uniform(lo, hi), 0.0, 1.0)
-    hsv[..., 0] = (hsv[..., 0] + rng.uniform(-max_hue, max_hue)) % 1.0
-    out = hsv_to_rgb(hsv)
-
-    if invert_color and rng.uniform() < 0.5:
-        out = 1.0 - out
-    return out.astype(np.float32)
+    return apply_color(rgb, sample_color_params(rng, finetune, invert_color))
 
 
 def flip_augment(seq: Dict[str, np.ndarray], rng: np.random.RandomState

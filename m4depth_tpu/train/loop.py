@@ -79,6 +79,7 @@ def fit(
     validation_fn: Optional[Callable[[object], Dict[str, float]]] = None,
     nan_check_every: int = 25,
     log_every: Optional[int] = None,
+    augment_fn: Optional[Callable] = None,
 ) -> object:
     """Train to ``total_steps`` optimizer steps (sample-steps/len semantics of
     the reference: epochs = total_steps // len(dataset), main.py:105-107).
@@ -137,7 +138,8 @@ def fit(
             keep_top_n=cfg.keep_top_n)
 
     dp_step = jit_data_parallel(
-        make_train_step(model, with_images=bool(cfg.log_dir)), mesh)
+        make_train_step(model, with_images=bool(cfg.log_dir),
+                        augment_fn=augment_fn, augment_seed=cfg.seed), mesh)
     meter = ThroughputMeter(dataset.batch_size * (sample["rgb"].shape[1]))
     log_every = log_every or cfg.summary_interval
 

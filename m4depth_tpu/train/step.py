@@ -67,6 +67,8 @@ def _summary_images(batch: Batch, preds, camera: Camera) -> Dict[str, jnp.ndarra
 def make_train_step(
     model: M4Depth,
     with_images: bool = False,
+    augment_fn: Callable[[Batch, jax.Array], Batch] = None,
+    augment_seed: int = 0,
 ) -> Callable[[TrainState, Batch], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """One optimization step over a [b, T, ...] window.
 
@@ -75,9 +77,19 @@ def make_train_step(
     already in the train step, m4depth_network.py:401-415 — no second apply).
     The tensors are tiny (first batch element only) and are only transferred
     to the host when the caller actually reads them on a log step.
+
+    ``augment_fn``: optional jitted on-device augmentation (see
+    data/augment_device.py) applied to the batch INSIDE the step — the
+    TPU-native version of the reference's in-graph augmentations
+    (dataloaders/generic.py:189-259). Keyed deterministically per step by
+    folding ``state.step`` into ``augment_seed``.
     """
 
     def train_step(state: TrainState, batch: Batch):
+        if augment_fn is not None:
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(augment_seed), state.step)
+            batch = augment_fn(batch, key)
         camera = batch_camera(batch)
 
         def loss_fn(params):
