@@ -61,6 +61,11 @@ class ModelConfig:
                                       # warp (reference formulation)
     sncv_impl: str = "xla"            # "xla": static-slice formulation;
                                       # "pallas": fused VMEM-resident kernel
+    dscv_para_direct: bool = False    # keep the expanded map features-only
+                                      # (ch = C, 32-aligned widths) and warp
+                                      # the temporal-parallax channel
+                                      # directly (split impl only; the int8
+                                      # store always does this)
     dscv_store_int8: bool = False     # store the expanded c2 map int8
                                       # (features are L2-normalized so the
                                       # 127-scale is exact-range; halves the
@@ -82,6 +87,12 @@ class ModelConfig:
                                       # ~2x slower train steps — scan blocks
                                       # cross-frame fusion); "unroll": python
                                       # loop (always used for T <= 2)
+    scan_unroll: int = 2              # lax.scan body unrolling on the scan
+                                      # path: recovers cross-frame fusion
+                                      # within groups of this many frames at
+                                      # ~group-size x the one-body compile
+                                      # cost (measured trade in
+                                      # DEVELOPMENT.md "Time-axis scan")
 
     @property
     def channels(self) -> Tuple[int, ...]:

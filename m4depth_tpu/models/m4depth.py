@@ -146,7 +146,8 @@ class M4Depth(nn.Module):
             body,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=0, out_axes=0)
+            in_axes=0, out_axes=0,
+            unroll=max(1, min(self.cfg.scan_unroll, T - 1)))
         # time-major xs: [T-1, b, ...]
         xs = (
             jnp.moveaxis(rgb_seq[:, 1:], 1, 0),

@@ -12,10 +12,12 @@ TPU-first formulation notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from m4depth_tpu.geometry.camera import Camera
 from m4depth_tpu.geometry.parallax import epipolar_terms, parallax_sweep_flows
@@ -158,6 +160,33 @@ def parallax_sweeping_cv_flat(
         search_range, num_cuts=num_cuts, cv_dtype=cv_dtype, n_chunks=1)
 
 
+def _chunked_fetch(exp_y, idx, w, bounds, d, ch):
+    """Chunked x-expansion + per-pixel row fetch.
+
+    For each dx-range chunk, concatenate the x-shifted slices of the
+    y-expanded map and take one contiguous row per pixel (chunking keeps
+    each gather operand in the fast row-gather regime, see DEVELOPMENT.md
+    "gather cliff"). Autodiff emits one scatter-add per chunk in the
+    backward; a round-3 experiment consolidating them into a single
+    full-width scatter via custom_vjp measured WORSE in-model (245 -> 277
+    ms/step): the scatters are bytes-bound (~70 GB/s effective regardless
+    of row width), so consolidation saves nothing while the cotangent
+    concatenate adds a full-size materialization. See DEVELOPMENT.md
+    "Training-step backward".
+    """
+    b = exp_y.shape[0]
+    n = idx.shape[1]
+    outs = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        nd = hi - lo
+        expanded = jnp.concatenate(
+            [exp_y[:, :, dx:dx + w, :] for dx in range(lo, hi)], axis=-1)
+        flat = expanded.reshape(b, n, nd * d * ch)
+        outs.append(jnp.take_along_axis(flat, idx, axis=1,
+                                        mode="promise_in_bounds"))
+    return tuple(outs)
+
+
 def parallax_sweeping_cv_split(
     c1: jnp.ndarray,
     c2: jnp.ndarray,
@@ -173,8 +202,16 @@ def parallax_sweeping_cv_split(
     chunk_bytes: int = 60 << 20,
     para_hyps: Optional[Tuple[int, ...]] = None,
     store_int8: bool = False,
+    para_direct_warp: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expanded-shift DSCV with the fetch split into dx-chunks.
+
+    ``para_direct_warp``: keep the expanded map features-only (ch = C, a
+    power of two — every expansion/gather width becomes 32-aligned instead
+    of the lane-hostile C+1) and bilinearly warp the temporal-parallax
+    channel directly per requested hypothesis, exactly as the int8 path
+    always does. Numerically only drops the one extra bf16 rounding the
+    patch contraction applied to the parallax channel.
 
     ``store_int8``: store the expanded c2 map as int8 (features are per-cut
     L2-normalized so every element is exactly in [-1, 1] — a 127-scale
@@ -203,7 +240,8 @@ def parallax_sweeping_cv_split(
     s = 2 * search_range + 1
     d = 2 * search_range + 2
     cc = C // num_cuts
-    ch = C if store_int8 else C + 1
+    para_in_map = not (store_int8 or para_direct_warp)
+    ch = C + 1 if para_in_map else C
     if n_chunks <= 0:                 # auto: keep each fetch operand under
         itemsize = 1 if store_int8 else jnp.dtype(cv_dtype).itemsize
         total = b * n * d * d * ch * itemsize
@@ -225,6 +263,8 @@ def parallax_sweeping_cv_split(
         combined = jnp.round(
             jnp.clip(c2.astype(jnp.float32), -1.0, 1.0) * 127.0
         ).astype(jnp.int8)
+    elif para_direct_warp:
+        combined = c2.astype(cv_dtype)
     else:
         combined = jnp.concatenate(
             [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
@@ -243,28 +283,25 @@ def parallax_sweeping_cv_split(
     # pieces as contiguous row-shifted slabs — measured SLOWER end-to-end
     # (188 vs 196 fps): the relayout this avoids on the build side
     # reappears in front of the pixel-minor reduce chain.)
-    bounds = [round(i * d / n_chunks) for i in range(n_chunks + 1)]
+    bounds = tuple(round(i * d / n_chunks) for i in range(n_chunks + 1))
     corr_parts, para_parts = [], []
     c1r = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
     if store_int8:
         c1r = c1r * jnp.asarray(1.0 / 127.0, cv_dtype)    # fold dequant in
-    for lo, hi in zip(bounds[:-1], bounds[1:]):
+    fetched_chunks = _chunked_fetch(exp_y, idx, w, bounds, d, ch)
+    for (lo, hi), fetched in zip(zip(bounds[:-1], bounds[1:]),
+                                 fetched_chunks):
         nd = hi - lo
-        expanded = jnp.concatenate(
-            [exp_y[:, :, dx:dx + w, :] for dx in range(lo, hi)], axis=-1)
-        flat = expanded.reshape(b, n, nd * d * ch)
-        fetched = jnp.take_along_axis(flat, idx, axis=1,
-                                      mode="promise_in_bounds")
         patch = fetched.reshape(b, n, nd, d, ch)
         feat = patch[..., :C]
         if store_int8:
             feat = feat.astype(cv_dtype)
         feat = feat.reshape(b, n, nd, d, num_cuts, cc)
         corr_parts.append((c1r * feat).mean(axis=-1))     # [b,n,nd,d,cuts]
-        if not store_int8:
+        if para_in_map:
             para_parts.append(patch[..., C])              # [b,n,nd,d]
     corr = jnp.concatenate(corr_parts, axis=2)            # [b,n,dx,dy,cuts]
-    para_patch = None if store_int8 else jnp.concatenate(para_parts, axis=2)
+    para_patch = jnp.concatenate(para_parts, axis=2) if para_in_map else None
 
     x0 = jnp.clip(jnp.floor(qx), 0, w - 2)
     y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
@@ -282,10 +319,11 @@ def parallax_sweeping_cv_split(
     t1 = (corr[:, :, None] * wy[:, :, :, None, :, None]).sum(axis=4)
     cv = (t1 * wx[..., None]).sum(axis=3)
     ks = list(para_hyps) if para_hyps is not None else list(range(s))
-    if store_int8:
-        # the parallax channel left the (now int8) expanded map; warp it
-        # directly per requested hypothesis (same clamped-bilinear taps the
-        # patch contraction applies, minus one bf16 rounding)
+    if not para_in_map:
+        # the parallax channel left the expanded map (int8 store or
+        # para_direct_warp); warp it directly per requested hypothesis
+        # (same clamped-bilinear taps the patch contraction applies, minus
+        # one bf16 rounding)
         gx = jnp.arange(w, dtype=jnp.float32).reshape(1, 1, w)
         gy = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1)
         qs = q.reshape(b, h, w, s, 2)

@@ -24,6 +24,10 @@ FAST_DSCV_IMPLS = {
     # auto-chunking with a tiny budget: exercises the bytes-driven split
     "split_auto": functools.partial(parallax_sweeping_cv_split,
                                     chunk_bytes=4096),
+    # features-only expanded map, parallax warped directly (values AND
+    # gradients must still match the gather formulation exactly in fp32)
+    "split_pd": functools.partial(parallax_sweeping_cv_split, n_chunks=3,
+                                  para_direct_warp=True),
 }
 
 

@@ -33,6 +33,7 @@ def main():
     p.add_argument("--levels", type=int, default=6)
     p.add_argument("--n", type=int, default=200)
     p.add_argument("--profile", action="store_true")
+    p.add_argument("--para_direct", action="store_true")
     a = p.parse_args()
 
     from m4depth_tpu.config import ModelConfig
@@ -41,7 +42,8 @@ def main():
 
     cfg = ModelConfig(num_levels=a.levels, compute_dtype="bfloat16",
                       dscv_impl=a.dscv_impl, sncv_impl=a.sncv_impl,
-                      dscv_chunk_bytes=a.chunk_bytes)
+                      dscv_chunk_bytes=a.chunk_bytes,
+                      dscv_para_direct=a.para_direct)
     model = M4Depth(cfg)
     b, h, w = a.batch, a.size, a.size
     rng = np.random.RandomState(0)

@@ -79,6 +79,8 @@ def main():
                     help="rematerialize decoder levels in the backward")
     ap.add_argument("--dscv_impl", default="split")
     ap.add_argument("--no_profile", action="store_true")
+    ap.add_argument("--para_direct", action="store_true")
+    ap.add_argument("--scan_unroll", type=int, default=2)
     args = ap.parse_args()
 
     from m4depth_tpu.config import ModelConfig
@@ -87,7 +89,9 @@ def main():
 
     cfg = ModelConfig(num_levels=args.levels, compute_dtype="bfloat16",
                       dscv_impl=args.dscv_impl, time_axis=args.time_axis,
-                      remat=args.remat)
+                      remat=args.remat,
+                      dscv_para_direct=args.para_direct,
+                      scan_unroll=args.scan_unroll)
     model = M4Depth(cfg)
     b, T, hw = args.batch, args.seq, args.size
     rng = np.random.RandomState(0)
@@ -138,6 +142,43 @@ def main():
             r'source_file="([^"]*)" source_line=(\d+)', hlo):
         meta[m.group(1)] = (m.group(2), os.path.basename(m.group(3)),
                             int(m.group(4)))
+    # kCustom fusion instructions carry no metadata of their own; map them
+    # through their called computation's dominant source op (first op with
+    # metadata inside the computation body)
+    comp_meta = {}
+    cur = None
+    for line in hlo.splitlines():
+        m = re.match(r'%?([\w.-]+) \(', line)
+        if m and ("fused_computation" in m.group(1)
+                  or line.rstrip().endswith("{")):
+            cur = m.group(1)
+            continue
+        if cur and cur not in comp_meta:
+            mm = re.search(r'metadata={op_name="([^"]*)" '
+                           r'source_file="([^"]*)" source_line=(\d+)', line)
+            if mm and ("scatter" in line or "gather" in line
+                       or "dot(" in line or "convolution" in line):
+                comp_meta[cur] = (mm.group(1),
+                                  os.path.basename(mm.group(2)),
+                                  int(mm.group(3)))
+    cur = None
+    comp_any = {}
+    for line in hlo.splitlines():
+        m = re.match(r'%?([\w.-]+) \(', line)
+        if m:
+            cur = m.group(1)
+            continue
+        if cur and cur not in comp_any:
+            mm = re.search(r'metadata={op_name="([^"]*)" '
+                           r'source_file="([^"]*)" source_line=(\d+)', line)
+            if mm:
+                comp_any[cur] = (mm.group(1), os.path.basename(mm.group(2)),
+                                 int(mm.group(3)))
+    for m in re.finditer(r'%?([\w.-]+) = [^\n]*? calls=%([\w.-]+)', hlo):
+        if m.group(1) not in meta:
+            info = comp_meta.get(m.group(2)) or comp_any.get(m.group(2))
+            if info:
+                meta[m.group(1)] = info
     with jax.profiler.trace("/tmp/m4depth_train_prof"):
         for _ in range(5):
             state, aux = step(state, batch)
@@ -146,23 +187,37 @@ def main():
         "/tmp/m4depth_train_prof/plugins/profile/*/*.trace.json.gz")
     with gzip.open(max(paths, key=os.path.getmtime), "rt") as fh:
         trace = json.load(fh)
-    device_pid = None
+    device_pid = ops_tid = None
     for ev in trace["traceEvents"]:
-        if (ev.get("ph") == "M" and ev.get("name") == "process_name"
+        if ev.get("ph") != "M":
+            continue
+        if (ev.get("name") == "process_name"
                 and "/device:" in str(ev.get("args", {}).get("name"))):
             device_pid = ev.get("pid")
-    by_tid = defaultdict(list)
-    for ev in trace["traceEvents"]:
-        if ev.get("ph") != "X" or ev.get("pid") != device_pid:
-            continue
-        nm = ev.get("name", "?")
-        if nm.startswith("jit_"):
-            continue
-        by_tid[ev.get("tid")].append((ev.get("ts"), ev.get("dur", 0.0), nm))
+        if (ev.get("name") == "thread_name"
+                and str(ev.get("args", {}).get("name")) == "XLA Ops"):
+            ops_tid = (ev.get("pid"), ev.get("tid"))
     per = defaultdict(float)
-    for tid, evs in by_tid.items():
-        for nm, us in innermost_attribution(evs).items():
-            per[nm] += us / 5
+    if ops_tid is not None and ops_tid[0] == device_pid:
+        # the "XLA Ops" lane is already non-overlapping leaf ops and sums
+        # to the step wall — use it directly
+        for ev in trace["traceEvents"]:
+            if (ev.get("ph") == "X" and ev.get("pid") == device_pid
+                    and ev.get("tid") == ops_tid[1]):
+                per[ev.get("name", "?")] += ev.get("dur", 0.0) / 5
+    else:  # fallback: innermost-event sweep per lane
+        by_tid = defaultdict(list)
+        for ev in trace["traceEvents"]:
+            if ev.get("ph") != "X" or ev.get("pid") != device_pid:
+                continue
+            nm = ev.get("name", "?")
+            if nm.startswith("jit_"):
+                continue
+            by_tid[ev.get("tid")].append(
+                (ev.get("ts"), ev.get("dur", 0.0), nm))
+        for tid, evs in by_tid.items():
+            for nm, us in innermost_attribution(evs).items():
+                per[nm] += us / 5
 
     from m4depth_tpu.ops.cost_volume import spatial_cost_volume
     sncv_line = spatial_cost_volume.__code__.co_firstlineno
