@@ -72,6 +72,17 @@ class ModelConfig:
                                       # dominant DSCV memory traffic).
                                       # Forward/serving option; training
                                       # keeps the bf16 store
+    dscv_bwd: str = "xla"             # split-impl backward strategy (the
+                                      # training-step hot spot, ~50% of the
+                                      # step — DEVELOPMENT.md "Training-step
+                                      # backward"): "xla" autodiff;
+                                      # "corner" hand VJP scattering only
+                                      # the 4 bilinear corner rows per
+                                      # (pixel, hypothesis) — the reference
+                                      # CUDA backward's structure; "pallas"
+                                      # autodiff + Pallas VMEM-accumulator
+                                      # scatter for the fetch VJP. Forward
+                                      # identical; dead under eval/serving
     dscv_chunk_bytes: int = 30 << 20  # split the expanded-map fetch into
                                       # dx-chunks no larger than this: XLA's
                                       # row gather falls off a ~8x throughput

@@ -205,7 +205,8 @@ class DecoderLevel(nn.Module):
                 chunk_bytes=self.cfg.dscv_chunk_bytes,
                 para_hyps=para_hyps,
                 store_int8=self.cfg.dscv_store_int8,
-                para_direct_warp=self.cfg.dscv_para_direct),
+                para_direct_warp=self.cfg.dscv_para_direct,
+                bwd_impl=self.cfg.dscv_bwd),
             "fused": functools.partial(
                 parallax_sweeping_cv_fused,
                 chunk_bytes=self.cfg.dscv_chunk_bytes),

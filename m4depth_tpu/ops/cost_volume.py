@@ -187,6 +187,269 @@ def _chunked_fetch(exp_y, idx, w, bounds, d, ch):
     return tuple(outs)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _chunked_fetch_k(exp_y, idx, w, bounds, d, ch):
+    """_chunked_fetch with the backward done by the Pallas scatter kernel.
+
+    Forward identical to :func:`_chunked_fetch`; the VJP routes the patch
+    cotangent through ``ops/dscv_bwd_pallas.py::fetch_grad`` (VMEM-resident
+    accumulation) instead of XLA's HBM scatter-adds. Gradients are
+    accumulated in the cotangent dtype, same as the autodiff scatters.
+    """
+    return _chunked_fetch(exp_y, idx, w, bounds, d, ch)
+
+
+def _chunked_fetch_k_fwd(exp_y, idx, w, bounds, d, ch):
+    # residuals must be JAX types; exp_y's shape is derivable from idx and
+    # the statics, only its dtype needs carrying (via a zero-size token)
+    return (_chunked_fetch(exp_y, idx, w, bounds, d, ch),
+            (idx, jnp.zeros((0,), exp_y.dtype)))
+
+
+def _chunked_fetch_k_bwd(w, bounds, d, ch, res, cots):
+    from m4depth_tpu.ops.dscv_bwd_pallas import fetch_grad
+
+    idx, tok = res
+    b, n = idx.shape[0], idx.shape[1]
+    h = n // w
+    lin = idx[..., 0]
+    cy = lin // w
+    cx = lin - cy * w
+    cots4 = [c.astype(tok.dtype).reshape(b, n, hi - lo, d * ch)
+             for c, (lo, hi) in zip(cots, zip(bounds[:-1], bounds[1:]))]
+    gey = fetch_grad(cots4, cy, cx, h=h, w=w, d=d, ch=ch)
+    idx_ct = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return gey, idx_ct
+
+
+_chunked_fetch_k.defvjp(_chunked_fetch_k_fwd, _chunked_fetch_k_bwd)
+
+
+def _sweep_weight_parts(qx, qy, cx, cy, r, d, w, h):
+    """Separable bilinear hypothesis-weight ingredients (f32).
+
+    Returns (x0, y0, ax, ay, m0x, m1x, m0y, m1y): integer corner bases,
+    fractional weights, and the in-delta-grid masks. The forward weights are
+    wx = m0x*(1-ax) + m1x*ax (same for y); the masks zero hypotheses whose
+    taps fall outside the [-r, r+1] expanded-shift window of the fetched
+    patch (equivalently: outside the clamped border handling).
+    """
+    x0 = jnp.clip(jnp.floor(qx), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
+    ax = jnp.clip(qx - x0, 0.0, 1.0)
+    ay = jnp.clip(qy - y0, 0.0, 1.0)
+    relx = x0.astype(jnp.int32) - cx[..., None]
+    rely = y0.astype(jnp.int32) - cy[..., None]
+    m0x = (relx >= -r) & (relx <= r + 1)
+    m1x = (relx + 1 >= -r) & (relx + 1 <= r + 1)
+    m0y = (rely >= -r) & (rely <= r + 1)
+    m1y = (rely + 1 >= -r) & (rely + 1 <= r + 1)
+    return x0, y0, ax, ay, relx, rely, m0x, m1x, m0y, m1y
+
+
+def _corner_statics(r, num_cuts, cv_dtype, bounds, ks, h, w, C):
+    s = 2 * r + 1
+    d = 2 * r + 2
+    return s, d, C // num_cuts, C + 1, h + d - 1, w + d - 1
+
+
+def _dscv_corner_impl(r, num_cuts, cv_dtype, bounds, ks, h, w, c1, padded, q):
+    """Forward of the corner-VJP DSCV: identical math to the split impl's
+    para-in-map branch, taking the padded combined map and the sweep query
+    positions q [b,n,s,2] as inputs (their construction — and therefore the
+    gradients wrt camera motion and the sweep center — stays outside the
+    custom VJP, handled by XLA)."""
+    b, _, _, C = c1.shape
+    n = h * w
+    s, d, cc, ch, Hp, Wp = _corner_statics(r, num_cuts, cv_dtype, bounds,
+                                           ks, h, w, C)
+    qx, qy = q[..., 0], q[..., 1]
+    cx = jnp.clip(jnp.floor(qx[..., r]), 0, w - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor(qy[..., r]), 0, h - 1).astype(jnp.int32)
+    exp_y = jnp.concatenate(
+        [padded[:, dy:dy + h, :, :] for dy in range(d)], axis=-1)
+    idx = (cy * w + cx).reshape(b, n, 1)
+    fetched = _chunked_fetch(exp_y, idx, w, bounds, d, ch)
+
+    c1r = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
+    corr_parts, para_parts = [], []
+    for (lo, hi), f in zip(zip(bounds[:-1], bounds[1:]), fetched):
+        nd = hi - lo
+        patch = f.reshape(b, n, nd, d, ch)
+        feat = patch[..., :C].reshape(b, n, nd, d, num_cuts, cc)
+        corr_parts.append((c1r * feat).mean(axis=-1))
+        para_parts.append(patch[..., C])
+    corr = jnp.concatenate(corr_parts, axis=2)            # [b,n,dx,dy,cuts]
+    para_patch = jnp.concatenate(para_parts, axis=2)      # [b,n,dx,dy]
+
+    x0, y0, ax, ay, relx, rely, m0x, m1x, m0y, m1y = _sweep_weight_parts(
+        qx, qy, cx, cy, r, d, w, h)
+    dgrid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, d), 3) - r
+    wx = ((dgrid == relx[..., None]) * (1.0 - ax[..., None])
+          + (dgrid == relx[..., None] + 1) * ax[..., None]).astype(cv_dtype)
+    wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
+          + (dgrid == rely[..., None] + 1) * ay[..., None]).astype(cv_dtype)
+
+    t1 = (corr[:, :, None] * wy[:, :, :, None, :, None]).sum(axis=4)
+    cv = (t1 * wx[..., None]).sum(axis=3)
+    kl = list(ks)
+    wxp, wyp = wx[:, :, kl], wy[:, :, kl]
+    p1 = (para_patch[:, :, None] * wyp[:, :, :, None]).sum(axis=-1)
+    para_w = (p1 * wxp).sum(axis=-1)
+
+    cv = cv.transpose(0, 1, 3, 2).reshape(b, h, w, num_cuts * s)
+    para_w = para_w.reshape(b, h, w, -1)
+    return cv.astype(jnp.float32), para_w.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _dscv_corner(r, num_cuts, cv_dtype, bounds, ks, h, w, c1, padded, q):
+    """Split DSCV with a hand-derived corner-scatter backward.
+
+    XLA's autodiff of the split DSCV materializes the dense d^2-expanded
+    patch cotangent ([b,n,d,d,ch] — 376 MB at 384^2 level 1) and scatters
+    all of it at ~50-70 GB/s (DEVELOPMENT.md "Training-step backward").
+    But that cotangent is factored — dpatch = dcorr (x) c1 with dcorr built
+    from separable bilinear weights that have at most 2 nonzeros per axis
+    per hypothesis — so in padded-map coordinates every hypothesis
+    contributes to exactly its 4 bilinear corner rows (y0+j, x0+i): the
+    per-pixel fetch center drops out entirely. The backward therefore
+    scatters s*4 rows of ch values per pixel (2.8x fewer bytes at r=4) and
+    never forms the dense patch cotangent at all.
+
+    This is the reference CUDA backward's structure — 4 corner atomicAdds
+    per (pixel, hypothesis), cuda_backproject/backproject_op_gpu.cu.cc:
+    108-197 — re-expressed as XLA batch scatter-adds.
+    """
+    return _dscv_corner_impl(r, num_cuts, cv_dtype, bounds, ks, h, w,
+                             c1, padded, q)
+
+
+def _dscv_corner_fwd(r, num_cuts, cv_dtype, bounds, ks, h, w, c1, padded, q):
+    out = _dscv_corner_impl(r, num_cuts, cv_dtype, bounds, ks, h, w,
+                            c1, padded, q)
+    # residual is the small padded map, not the d^2-expanded fetched patch
+    # XLA's autodiff would keep: the backward rebuilds the y-expansion and
+    # re-fetches — row gathers are cheap (DEVELOPMENT.md)
+    return out, (c1, padded, q)
+
+
+def _dscv_corner_bwd(r, num_cuts, cv_dtype, bounds, ks, h, w, res, cots):
+    c1, padded, q = res
+    dcv_out, dpw_out = cots
+    b, _, _, C = c1.shape
+    n = h * w
+    s, d, cc, ch, Hp, Wp = _corner_statics(r, num_cuts, cv_dtype, bounds,
+                                           ks, h, w, C)
+    kl = list(ks)
+
+    qx, qy = q[..., 0], q[..., 1]
+    cx = jnp.clip(jnp.floor(qx[..., r]), 0, w - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor(qy[..., r]), 0, h - 1).astype(jnp.int32)
+    x0, y0, ax, ay, relx, rely, m0x, m1x, m0y, m1y = _sweep_weight_parts(
+        qx, qy, cx, cy, r, d, w, h)
+    dgrid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, d), 3) - r
+    wx = ((dgrid == relx[..., None]) * (1.0 - ax[..., None])
+          + (dgrid == relx[..., None] + 1) * ax[..., None]).astype(cv_dtype)
+    wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
+          + (dgrid == rely[..., None] + 1) * ay[..., None]).astype(cv_dtype)
+
+    # output adjoints back to [b,n,s,*] layout
+    dCV = dcv_out.reshape(b, n, num_cuts, s).transpose(0, 1, 3, 2)
+    dCV = dCV.astype(cv_dtype)                            # [b,n,s,cuts]
+    dpw = dpw_out.reshape(b, n, len(kl)).astype(cv_dtype)
+    wxp, wyp = wx[:, :, kl], wy[:, :, kl]
+
+    # re-fetch the patch (gathers are cheap; the dense cotangent is not)
+    exp_y = jnp.concatenate(
+        [padded[:, dy:dy + h, :, :] for dy in range(d)], axis=-1)
+    idx = (cy * w + cx).reshape(b, n, 1)
+    fetched = _chunked_fetch(exp_y, idx, w, bounds, d, ch)
+
+    c1r = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
+    dc1 = jnp.zeros((b, n, num_cuts, cc), cv_dtype)
+    t1y = jnp.zeros((b, n, s, d, num_cuts), cv_dtype)
+    p1y = jnp.zeros((b, n, len(kl), d), cv_dtype)
+    dwx_cols, p1x_cols = [], []
+    for (lo, hi), f in zip(zip(bounds[:-1], bounds[1:]), fetched):
+        nd = hi - lo
+        patch = f.reshape(b, n, nd, d, ch)
+        feat = patch[..., :C].reshape(b, n, nd, d, num_cuts, cc)
+        para_part = patch[..., C]                         # [b,n,nd,d]
+        corr_j = (c1r * feat).mean(axis=-1)               # [b,n,nd,d,cuts]
+        wx_j = wx[..., lo:hi]                             # [b,n,s,nd]
+        # dcorr_j[p,dx,dy,cut] = sum_s dCV * wx_j * wy  (XLA fuses the
+        # s-reduction into the multiplies; no [.,s,nd,d,.] materialization)
+        dcorr_j = (dCV[:, :, :, None, None, :]
+                   * wx_j[..., None, None]
+                   * wy[:, :, :, None, :, None]).sum(axis=2)
+        dc1 = dc1 + (dcorr_j[..., None] * feat).sum(axis=(2, 3)) / cc
+        t1x_j = (corr_j[:, :, None] * wy[:, :, :, None, :, None]).sum(axis=4)
+        dwx_cols.append((dCV[:, :, :, None, :] * t1x_j).sum(-1))
+        t1y = t1y + (wx_j[..., None, None] * corr_j[:, :, None]).sum(axis=3)
+        wxp_j = wxp[..., lo:hi]
+        p1x_cols.append(
+            (para_part[:, :, None] * wyp[:, :, :, None]).sum(axis=-1))
+        p1y = p1y + (para_part[:, :, None] * wxp_j[..., None]).sum(axis=3)
+    dwx = jnp.concatenate(dwx_cols, axis=-1)              # [b,n,s,d]
+    dwy = (dCV[:, :, :, None, :] * t1y).sum(-1)           # [b,n,s,d]
+    p1x = jnp.concatenate(p1x_cols, axis=-1)              # [b,n,K,d]
+    for t, k in enumerate(kl):
+        dwx = dwx.at[:, :, k, :].add(dpw[:, :, t, None] * p1x[:, :, t, :])
+        dwy = dwy.at[:, :, k, :].add(dpw[:, :, t, None] * p1y[:, :, t, :])
+
+    # weights -> fractional offsets -> query positions (clip subgradients)
+    dax_sel = ((dwx.astype(jnp.float32)
+                * ((dgrid == relx[..., None] + 1).astype(jnp.float32)
+                   - (dgrid == relx[..., None]).astype(jnp.float32)))
+               .sum(-1))
+    day_sel = ((dwy.astype(jnp.float32)
+                * ((dgrid == rely[..., None] + 1).astype(jnp.float32)
+                   - (dgrid == rely[..., None]).astype(jnp.float32)))
+               .sum(-1))
+    tx, ty = qx - x0, qy - y0
+    dqx = dax_sel * ((tx > 0) & (tx < 1)).astype(jnp.float32)
+    dqy = day_sel * ((ty > 0) & (ty < 1)).astype(jnp.float32)
+    dq = jnp.stack([dqx, dqy], axis=-1).astype(q.dtype)
+
+    # corner scatter: per (pixel, hypothesis), 4 rows of ch values into the
+    # padded map at the bilinear corners (the irreducible information)
+    gfeat = (dCV[..., None]
+             * c1.astype(cv_dtype).reshape(b, n, 1, num_cuts, cc)
+             ).reshape(b, n, s, C) / cc
+    gpara = jnp.zeros((b, n, s), cv_dtype)
+    for t, k in enumerate(kl):
+        gpara = gpara.at[:, :, k].add(dpw[:, :, t])
+    gfull = jnp.concatenate([gfeat, gpara[..., None]], axis=-1)
+
+    f32 = jnp.float32
+    wxc0 = ((1.0 - ax) * m0x.astype(f32)).astype(cv_dtype)
+    wxc1 = (ax * m1x.astype(f32)).astype(cv_dtype)
+    wyc0 = ((1.0 - ay) * m0y.astype(f32)).astype(cv_dtype)
+    wyc1 = (ay * m1y.astype(f32)).astype(cv_dtype)
+    wc = jnp.stack([wxc0 * wyc0, wxc1 * wyc0,
+                    wxc0 * wyc1, wxc1 * wyc1], axis=-1)   # [b,n,s,4]
+    base = (y0.astype(jnp.int32) + r) * Wp + (x0.astype(jnp.int32) + r)
+    rows = jnp.stack([base, base + 1, base + Wp, base + Wp + 1], axis=-1)
+    vals = gfull[:, :, :, None, :] * wc[..., None]        # [b,n,s,4,ch]
+    # express the scatter-add as the transpose of a take_along_axis gather:
+    # batched advanced-index .at[].add lowers through XLA's sort-based
+    # scatter expander (measured 58.8 ms + 5.7 ms sorts per frame at 384^2
+    # level 1); the gather-transpose form emits the same native scatter HLO
+    # the chunked-fetch VJP uses (~30x faster per row)
+    _, scat = jax.vjp(
+        lambda flat: jnp.take_along_axis(
+            flat, rows.reshape(b, -1, 1), axis=1, mode="promise_in_bounds"),
+        jnp.zeros((b, Hp * Wp, ch), cv_dtype))
+    dpadded = scat(vals.reshape(b, -1, ch))[0].reshape(b, Hp, Wp, ch)
+
+    dc1_out = dc1.reshape(b, h, w, C).astype(c1.dtype)
+    return dc1_out, dpadded, dq
+
+
+_dscv_corner.defvjp(_dscv_corner_fwd, _dscv_corner_bwd)
+
+
 def parallax_sweeping_cv_split(
     c1: jnp.ndarray,
     c2: jnp.ndarray,
@@ -203,8 +466,20 @@ def parallax_sweeping_cv_split(
     para_hyps: Optional[Tuple[int, ...]] = None,
     store_int8: bool = False,
     para_direct_warp: bool = False,
+    bwd_impl: str = "xla",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expanded-shift DSCV with the fetch split into dx-chunks.
+
+    ``bwd_impl``: backward-pass strategy — the training-step hot spot (see
+    DEVELOPMENT.md "Training-step backward"). Forward results identical:
+      * "xla": autodiff (dense patch-cotangent materialization + per-chunk
+        HBM scatter-adds);
+      * "corner": hand-derived VJP scattering only the 4 bilinear corner
+        rows per (pixel, hypothesis) into the small padded map — the
+        reference CUDA backward's structure (:func:`_dscv_corner`);
+        requires the standard training config (no int8 store / direct warp);
+      * "pallas": autodiff with the fetch VJP routed through the Pallas
+        VMEM-accumulator scatter kernel (ops/dscv_bwd_pallas.py).
 
     ``para_direct_warp``: keep the expanded map features-only (ch = C, a
     power of two — every expansion/gather width becomes 32-aligned instead
@@ -273,6 +548,21 @@ def parallax_sweeping_cv_split(
         ((0, 0), (search_range, search_range + 1),
          (search_range, search_range + 1), (0, 0)),
         mode="edge")
+
+    if bwd_impl == "corner":
+        if not para_in_map:
+            raise ValueError(
+                "bwd_impl='corner' requires the standard training config "
+                "(no store_int8 / para_direct_warp)")
+        bounds = tuple(round(i * d / n_chunks) for i in range(n_chunks + 1))
+        ks = tuple(para_hyps) if para_hyps is not None else tuple(range(s))
+        # q's construction stays outside the custom VJP: grads wrt the sweep
+        # center (and rot/trans/camera) flow through it via XLA autodiff
+        return _dscv_corner(search_range, num_cuts, jnp.dtype(cv_dtype),
+                            bounds, ks, h, w, c1, padded, q)
+    if bwd_impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown bwd_impl: {bwd_impl!r}")
+
     exp_y = jnp.concatenate(
         [padded[:, dy:dy + h, :, :] for dy in range(d)], axis=-1)
 
@@ -288,7 +578,8 @@ def parallax_sweeping_cv_split(
     c1r = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
     if store_int8:
         c1r = c1r * jnp.asarray(1.0 / 127.0, cv_dtype)    # fold dequant in
-    fetched_chunks = _chunked_fetch(exp_y, idx, w, bounds, d, ch)
+    fetch = _chunked_fetch_k if bwd_impl == "pallas" else _chunked_fetch
+    fetched_chunks = fetch(exp_y, idx, w, bounds, d, ch)
     for (lo, hi), fetched in zip(zip(bounds[:-1], bounds[1:]),
                                  fetched_chunks):
         nd = hi - lo

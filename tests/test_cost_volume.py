@@ -28,6 +28,17 @@ FAST_DSCV_IMPLS = {
     # gradients must still match the gather formulation exactly in fp32)
     "split_pd": functools.partial(parallax_sweeping_cv_split, n_chunks=3,
                                   para_direct_warp=True),
+    # alternate training backwards (forward identical; gradient parity here
+    # is the correctness gate): the hand-derived corner-scatter VJP and the
+    # Pallas VMEM-accumulator fetch VJP (interpret mode on CPU)
+    "split_corner1": functools.partial(parallax_sweeping_cv_split,
+                                       n_chunks=1, bwd_impl="corner"),
+    "split_corner3": functools.partial(parallax_sweeping_cv_split,
+                                       n_chunks=3, bwd_impl="corner"),
+    "split_bwdk1": functools.partial(parallax_sweeping_cv_split, n_chunks=1,
+                                     bwd_impl="pallas"),
+    "split_bwdk3": functools.partial(parallax_sweeping_cv_split, n_chunks=3,
+                                     bwd_impl="pallas"),
 }
 
 

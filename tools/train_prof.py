@@ -81,6 +81,9 @@ def main():
     ap.add_argument("--no_profile", action="store_true")
     ap.add_argument("--para_direct", action="store_true")
     ap.add_argument("--scan_unroll", type=int, default=2)
+    ap.add_argument("--dscv_bwd", default="xla",
+                    choices=["xla", "corner", "pallas"],
+                    help="DSCV backward strategy (config.dscv_bwd)")
     args = ap.parse_args()
 
     from m4depth_tpu.config import ModelConfig
@@ -91,7 +94,8 @@ def main():
                       dscv_impl=args.dscv_impl, time_axis=args.time_axis,
                       remat=args.remat,
                       dscv_para_direct=args.para_direct,
-                      scan_unroll=args.scan_unroll)
+                      scan_unroll=args.scan_unroll,
+                      dscv_bwd=args.dscv_bwd)
     model = M4Depth(cfg)
     b, T, hw = args.batch, args.seq, args.size
     rng = np.random.RandomState(0)
