@@ -14,6 +14,14 @@ Prints ONE JSON line:
    "vs_baseline": N / 30.0}
 vs_baseline normalizes by 30 fps — the reference's qualitative "real-time"
 claim — so vs_baseline >= 10 means the >10x north star is met.
+
+Scope of the claim: DEVICE-RESIDENT input. The timed loop re-feeds the same
+host array (fresh-frame h2d transfer cost is excluded) because the tunneled
+transport leaks host memory on every distinct h2d transfer (DEVELOPMENT.md
+"Tunnel transport leaks"); a production deployment would overlap the ~0.9 MB
+bf16 frame transfer with the ~5 ms step via double buffering, so the
+steady-state number is representative there too. A measured TF-CPU reference
+anchor lives in BASELINE.md next to the assumed 30 fps.
 """
 
 import json

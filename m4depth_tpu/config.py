@@ -92,12 +92,14 @@ class ModelConfig:
     remat: bool = False               # rematerialize decoder levels in the
                                       # backward pass (trade FLOPs for HBM;
                                       # large frames / long windows)
-    time_axis: str = "auto"           # "auto": unroll T <= 4, scan beyond;
+    time_axis: str = "auto"           # "auto": unroll T <= 5, scan beyond;
                                       # "scan": lax.scan over frames 1..T-1
-                                      # (O(1) trace/compile cost in T, but
-                                      # ~2x slower train steps — scan blocks
-                                      # cross-frame fusion); "unroll": python
-                                      # loop (always used for T <= 2)
+                                      # (O(1) trace/compile cost in T; plain
+                                      # scan is ~2x slower than unroll but
+                                      # scan_unroll=2 closes it to ~1.1-1.2x
+                                      # — DEVELOPMENT.md "Time-axis scan");
+                                      # "unroll": python loop (always used
+                                      # for T <= 2)
     scan_unroll: int = 2              # lax.scan body unrolling on the scan
                                       # path: recovers cross-frame fusion
                                       # within groups of this many frames at

@@ -107,16 +107,21 @@ class M4Depth(nn.Module):
         The time axis is either unrolled or a ``lax.scan`` with the
         per-level ``LevelState`` tuple as carry (SURVEY.md §7). Scan keeps
         trace/compile cost at one frame body regardless of T; unroll lets
-        XLA fuse across frame boundaries, which measures ~2x faster per
-        training step on v5e (258 vs 541 ms at the reference config,
-        b=3 T=4 384^2 d6 — DEVELOPMENT.md). Default "auto" unrolls short
-        windows (T <= 4, the reference training config) and scans longer
-        ones (db_seq_len 8, legacy seq 5) where unrolled compile time
-        becomes prohibitive. Frame 0 always runs outside the scan — its
-        reset path is a statically different computation.
+        XLA fuse across frame boundaries. Measured on v5e at the reference
+        config (b=3, 384^2, d6 — DEVELOPMENT.md "Time-axis scan"): plain
+        scan is ~2x slower per step than unroll; ``scan_unroll=2`` (the
+        default) recovers cross-frame fusion within pairs and closes that
+        to 1.09x (T=4) / 1.18x (T=5). Default "auto" unrolls windows up to
+        the legacy training length (T <= 5, where unroll still measures
+        ~15% faster and compile time stays moderate) and scans longer ones
+        (db_seq_len 8) where unrolled compile becomes prohibitive; T >= 6
+        at 384^2 batch 3 additionally needs ``remat`` to fit HBM (the
+        stacked per-frame DSCV residuals exceed 16 GB either way —
+        DEVELOPMENT.md). Frame 0 always runs outside the scan — its reset
+        path is a statically different computation.
         """
         T = rgb_seq.shape[1]
-        dispatch = {"auto": T <= 4, "unroll": True, "scan": False}
+        dispatch = {"auto": T <= 5, "unroll": True, "scan": False}
         if self.cfg.time_axis not in dispatch:
             raise ValueError(
                 f"time_axis must be one of {sorted(dispatch)}, "
