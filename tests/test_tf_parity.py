@@ -503,6 +503,48 @@ def test_full_model_d6_split_parity(ref):
                 err_msg=f"depth mismatch at frame {t} level {lvl}")
 
 
+def test_full_model_scan_time_axis_parity(ref):
+    """The lax.scan time axis — what long windows (T > 5, e.g. the
+    reference's db_seq_len=8) run under ``time_axis="auto"`` — drives the
+    full recurrent pyramid to the reference's outputs. A 6-frame window
+    puts frame 0 outside the scan and frames 1..5 inside with the default
+    ``scan_unroll=2`` body grouping (2+2+1), exercising the LevelState
+    carry pytree round-trip at every scan iteration boundary, which the
+    unrolled-path parity tests never touch. Parity target: the reference's
+    train-time functional recurrence (m4depth_network.py:278-323)."""
+    from m4depth_tpu.config import ModelConfig
+    from m4depth_tpu.geometry import Camera
+    from m4depth_tpu.interop.weight_port import port_reference_model
+    from m4depth_tpu.models import M4Depth
+
+    b, T, h, w = 1, 6, 32, 40
+    rgb, rot, trans = _traj_inputs(b, T, h, w, seed=53)
+    cam, cam_tf = make_cameras(b, h, w)
+
+    ref_model = _ref_train_model(ref, num_levels=3)
+    ref_out = _run_reference_window(ref, ref_model, rgb, rot, trans, cam_tf)
+    params = port_reference_model(ref_model)
+
+    cfg = ModelConfig(num_levels=3, compute_dtype="float32",
+                      cv_dtype="float16", dscv_impl="split",
+                      time_axis="auto")  # T=6 > 5 -> scan path
+    preds = M4Depth(cfg).apply(params, rgb, rot, trans,
+                               Camera(f=cam.f, c=cam.c))
+
+    for t in range(len(ref_out)):
+        for lvl in range(len(ref_out[t])):
+            exp_depth = ref_out[t][lvl]["depth"].numpy()
+            got_depth = np.asarray(preds[t][lvl].depth)
+            rel = np.abs(got_depth - exp_depth) / (np.abs(exp_depth) + 1e-6)
+            # 6 recurrent frames amplify the fp16 CV floor further than the
+            # 3-frame window test; keep the median tight
+            assert np.median(rel) < 5e-3, (
+                f"median rel err {np.median(rel):.2e} at frame {t} lvl {lvl}")
+            np.testing.assert_allclose(
+                got_depth, exp_depth, rtol=6e-2, atol=6e-2,
+                err_msg=f"depth mismatch at frame {t} level {lvl}")
+
+
 def test_port_reference_checkpoint_h5_roundtrip(ref, tmp_path):
     """``port_reference_checkpoint`` proven end-to-end before real released
     weights ever arrive (README.md:155-163 contract): save a built reference

@@ -6,6 +6,7 @@ Usage: python tools/fps.py [--dscv_impl split] [--sncv_impl xla] [--size 384]
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -34,7 +35,12 @@ def main():
     p.add_argument("--n", type=int, default=200)
     p.add_argument("--profile", action="store_true")
     p.add_argument("--para_direct", action="store_true")
+    p.add_argument("--xla_opt", action="append", default=[],
+                   help="key=value TPU compiler option (passed per-jit via "
+                        "compiler_options — client XLA_FLAGS can't carry "
+                        "TPU flags through the tunnel)")
     a = p.parse_args()
+    copts = dict(kv.split("=", 1) for kv in a.xla_opt) or None
 
     from m4depth_tpu.config import ModelConfig
     from m4depth_tpu.geometry import Camera
@@ -54,7 +60,7 @@ def main():
         jnp.tile(jnp.array([[[0.05, 0.0, 0.4]]], jnp.float32), (b, 2, 1)),
         Camera(f=jnp.full((b, 2), 32.0), c=jnp.full((b, 2), 32.0)))
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=copts)
     def step(params, state, rgb, rot, trans, f, c, new_traj):
         return model.apply(params, state, rgb, rot, trans, Camera(f, c),
                            new_traj, method=M4Depth.step)
