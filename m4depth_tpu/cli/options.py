@@ -98,12 +98,27 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="Cost-volume correlation dtype (the reference "
                         "hardcoded fp16, depth_operations.py:276-278)")
     g.add_argument("--dscv_impl", default="split",
-                   choices=["split", "flat", "expanded", "gather"],
+                   choices=["split", "fused", "flat", "expanded", "gather"],
                    help="DSCV formulation: chunked expanded static shifts "
-                        "(TPU-fast default), single-fetch expanded variants, "
+                        "(TPU-fast default), Pallas fused reduce (forward-"
+                        "only serving path), single-fetch expanded variants, "
                         "or direct per-hypothesis warp")
+    g.add_argument("--dscv_bwd", default="xla",
+                   choices=["xla", "corner", "pallas"],
+                   help="Split-DSCV backward strategy (training hot spot; "
+                        "measured trade-offs in DEVELOPMENT.md 'the scatter "
+                        "is conserved')")
     g.add_argument("--sncv_impl", default="xla", choices=["xla", "pallas"],
                    help="SNCV kernel: XLA static slices or fused Pallas")
+    g.add_argument("--time_axis", default="auto",
+                   choices=["auto", "unroll", "scan"],
+                   help="Frame-loop lowering: auto unrolls T <= 5 and scans "
+                        "longer windows (measured matrix in DEVELOPMENT.md "
+                        "'Time-axis scan')")
+    g.add_argument("--scan_unroll", default=2, type=int,
+                   help="lax.scan body replication on the scan path: "
+                        "recovers cross-frame fusion within groups (2 "
+                        "closes the scan/unroll gap to ~1.1-1.2x)")
     g.add_argument("--remat", default=False, action="store_true",
                    help="Rematerialize decoder levels in the backward pass "
                         "(trades FLOPs for HBM)")
@@ -162,7 +177,10 @@ def model_config_from_args(cmd, depth_type: str = "map") -> ModelConfig:
         compute_dtype=cmd.compute_dtype,
         cv_dtype=getattr(cmd, "cv_dtype", "bfloat16"),
         dscv_impl=getattr(cmd, "dscv_impl", "split"),
+        dscv_bwd=getattr(cmd, "dscv_bwd", "xla"),
         sncv_impl=getattr(cmd, "sncv_impl", "xla"),
+        time_axis=getattr(cmd, "time_axis", "auto"),
+        scan_unroll=getattr(cmd, "scan_unroll", 2),
         remat=getattr(cmd, "remat", False),
     )
 
