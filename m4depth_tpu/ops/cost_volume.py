@@ -24,6 +24,25 @@ from m4depth_tpu.geometry.parallax import epipolar_terms, parallax_sweep_flows
 from m4depth_tpu.ops.warp import dense_image_warp
 
 
+def _saturating_cast(x: jnp.ndarray, dtype: jnp.dtype) -> jnp.ndarray:
+    """Cast clamping to the target dtype's finite range.
+
+    The expanded-map DSCV impls store the temporal-parallax channel in the
+    cost-volume dtype. Features are L2-normalized (bounded), but parallax is
+    rho/depth-shaped and can exceed float16's 65504 max under degenerate
+    depth estimates (e.g. random init weights): a plain cast then yields
+    inf, and inf * 0 in the masked hypothesis-weight contraction poisons
+    the output with NaN — caught by the seeded d6 TF-parity test. The
+    reference never quantizes the parallax channel (it casts only the
+    correlation inputs to fp16, depth_operations.py:276-278), so saturation
+    is strictly closer to its behavior than overflow. No-op for f32/bf16
+    (their finite range exceeds any parallax the clipped geometry
+    produces); gradient-exact wherever the value is in range.
+    """
+    fin = jnp.finfo(dtype)
+    return jnp.clip(x, float(fin.min), float(fin.max)).astype(dtype)
+
+
 def parallax_sweeping_cv_expanded(
     c1: jnp.ndarray,
     c2: jnp.ndarray,
@@ -72,7 +91,8 @@ def parallax_sweeping_cv_expanded(
 
     # 1) all static shifts delta in [-r, r+1]^2 of (c2 | para), edge-clamped
     combined = jnp.concatenate(
-        [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
+        [c2.astype(cv_dtype), _saturating_cast(para_prev_t, cv_dtype)],
+        axis=-1)
     padded = jnp.pad(
         combined,
         ((0, 0), (search_range, search_range + 1),
@@ -542,7 +562,8 @@ def parallax_sweeping_cv_split(
         combined = c2.astype(cv_dtype)
     else:
         combined = jnp.concatenate(
-            [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
+            [c2.astype(cv_dtype), _saturating_cast(para_prev_t, cv_dtype)],
+            axis=-1)
     padded = jnp.pad(
         combined,
         ((0, 0), (search_range, search_range + 1),
@@ -619,7 +640,7 @@ def parallax_sweeping_cv_split(
         gy = jnp.arange(h, dtype=jnp.float32).reshape(1, h, 1)
         qs = q.reshape(b, h, w, s, 2)
         pw = [dense_image_warp(
-                  para_prev_t.astype(cv_dtype),
+                  _saturating_cast(para_prev_t, cv_dtype),
                   jnp.stack([qs[..., k, 0] - gx, qs[..., k, 1] - gy],
                             axis=-1))[..., 0]
               for k in ks]
@@ -710,7 +731,8 @@ def parallax_sweeping_cv_fused(
           + (dgrid == rely[..., None] + 1) * ay[..., None])
 
     combined = jnp.concatenate(
-        [c2.astype(cv_dtype), para_prev_t.astype(cv_dtype)], axis=-1)
+        [c2.astype(cv_dtype), _saturating_cast(para_prev_t, cv_dtype)],
+        axis=-1)
     padded = jnp.pad(
         combined,
         ((0, 0), (search_range, search_range + 1),

@@ -323,6 +323,13 @@ def test_metrics_vs_reference(ref):
 
 
 def _ref_train_model(ref, num_levels, depth_type="map"):
+    # Pin TF's global RNG: Keras draws the reference model's random init
+    # weights from it, so without this the weights — and therefore how far
+    # the reference's hardcoded-fp16 cost-volume noise amplifies through
+    # the recurrence — depend on which tests ran earlier in the session.
+    # The d6 full-model test's tail tolerance was order-dependently flaky
+    # until seeded (0.4% of pixels past 6e-2 under unlucky draws).
+    ref.tf.keras.utils.set_random_seed(1234)
     return ref.network.M4Depth(
         depth_type=depth_type, nbre_levels=num_levels, is_training=True)
 

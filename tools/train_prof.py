@@ -84,7 +84,12 @@ def main():
     ap.add_argument("--dscv_bwd", default="xla",
                     choices=["xla", "corner", "pallas"],
                     help="DSCV backward strategy (config.dscv_bwd)")
+    ap.add_argument("--xla_opt", action="append", default=[],
+                    help="key=value TPU compiler option (per-jit "
+                         "compiler_options; client XLA_FLAGS can't carry "
+                         "TPU flags through the tunnel)")
     args = ap.parse_args()
+    copts = dict(kv.split("=", 1) for kv in args.xla_opt) or None
 
     from m4depth_tpu.config import ModelConfig
     from m4depth_tpu.models import M4Depth
@@ -115,7 +120,8 @@ def main():
     sample["depth"] = batch["depth"][:, :2, :64, :64]
     sample["rot"], sample["trans"] = batch["rot"][:, :2], batch["trans"][:, :2]
     state = create_train_state(model, jax.random.PRNGKey(0), sample)
-    step = jax.jit(make_train_step(model), donate_argnums=(0,))
+    step = jax.jit(make_train_step(model), donate_argnums=(0,),
+                   compiler_options=copts)
 
     t0 = time.perf_counter()
     state, aux = step(state, batch)
