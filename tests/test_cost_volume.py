@@ -164,6 +164,49 @@ class TestDSCV:
         winner = scores.argmax(-1)
         assert (winner == 5).mean() > 0.9  # index 5 = offset +1 of 9
 
+    def test_fp16_extreme_parallax_stays_finite(self):
+        """Regression: the expanded-map impls store the temporal-parallax
+        channel in cv_dtype; under float16 a degenerate (huge) parallax
+        used to cast to inf and poison the masked weight contraction with
+        NaN (inf * 0). The saturating cast must keep every output finite
+        and leave the feature correlations untouched (they never saturate:
+        features are L2-normalized)."""
+        from m4depth_tpu.ops.cost_volume import (
+            parallax_sweeping_cv_expanded,
+            parallax_sweeping_cv_split,
+        )
+
+        rng = np.random.RandomState(3)
+        b, h, w, C = 1, 12, 14, 8
+        cam = make_camera(b, f=(10.0, 11.0), c=(7.0, 6.0))
+        rot = jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (b, 1))
+        trans = jnp.tile(jnp.array([[0.3, 0.1, 0.2]], jnp.float32), (b, 1))
+        c1 = rng.randn(b, h, w, C).astype(np.float32)
+        c1 /= np.linalg.norm(c1, axis=-1, keepdims=True)
+        c2 = rng.randn(b, h, w, C).astype(np.float32)
+        c2 /= np.linalg.norm(c2, axis=-1, keepdims=True)
+        # parallax far beyond float16's 65504 finite max (a near-zero
+        # depth estimate under random init weights produces exactly this)
+        para_t = jnp.full((b, h, w, 1), 1.0e6, jnp.float32)
+        center = jnp.full((b, h, w, 1), 2.0, jnp.float32)
+
+        for fn in (functools.partial(parallax_sweeping_cv_split, n_chunks=3),
+                   parallax_sweeping_cv_expanded):
+            cv, pw = fn(jnp.asarray(c1), jnp.asarray(c2), para_t, center,
+                        rot, trans, cam, search_range=4,
+                        cv_dtype=jnp.float16)
+            assert np.isfinite(np.asarray(cv)).all()
+            assert np.isfinite(np.asarray(pw)).all()
+            # the warped parallax saturates at the fp16 max, not inf/NaN
+            assert np.asarray(pw).max() <= 65504.0
+            # correlations are unaffected by the parallax clamp
+            cv_g, _ = parallax_sweeping_cv(
+                jnp.asarray(c1), jnp.asarray(c2),
+                jnp.zeros((b, h, w, 1), jnp.float32), center, rot, trans,
+                cam, search_range=4, cv_dtype=jnp.float16)
+            np.testing.assert_allclose(np.asarray(cv), np.asarray(cv_g),
+                                       rtol=2e-3, atol=2e-3)
+
     @pytest.mark.parametrize("impl", sorted(FAST_DSCV_IMPLS))
     def test_expanded_matches_gather_formulation(self, impl):
         """Every fast DSCV formulation must reproduce the direct
