@@ -39,8 +39,31 @@ except Exception:
 
 BASELINE_FPS = 30.0  # reference "real-time" claim (README.md:16)
 
+# A wedged axon tunnel hangs device calls forever (observed: a multi-hour
+# remote outage where even jax.devices() never returned). Bound the whole
+# benchmark so the driver gets a clean failure instead of a stuck process;
+# a cold compile through the tunnel takes 5-8 min, so 30 min is generous.
+WATCHDOG_SECS = 1800
+
+
+def _arm_watchdog():
+    import os
+    import threading
+
+    def _bang():
+        print("bench.py watchdog: no result after "
+              f"{WATCHDOG_SECS}s (TPU tunnel wedged?); aborting",
+              flush=True)
+        os._exit(17)
+
+    t = threading.Timer(WATCHDOG_SECS, _bang)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main():
+    watchdog = _arm_watchdog()
     from m4depth_tpu.config import ModelConfig
     from m4depth_tpu.geometry import Camera
     from m4depth_tpu.models import M4Depth, init_state
@@ -90,6 +113,7 @@ def main():
     assert np.all(np.isfinite(val)), "non-finite depth out of the bench model"
 
     fps = n * b / best
+    watchdog.cancel()
     print(json.dumps({
         "metric": "stream_fps_384",
         "value": round(fps, 2),
