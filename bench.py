@@ -51,9 +51,16 @@ def _arm_watchdog():
     import threading
 
     def _bang():
-        print("bench.py watchdog: no result after "
-              f"{WATCHDOG_SECS}s (TPU tunnel wedged?); aborting",
-              flush=True)
+        # keep the one-JSON-line contract even on a wedged tunnel so the
+        # driver record is self-describing (VERDICT r3 "weak" #1)
+        print(json.dumps({
+            "metric": "stream_fps_384",
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "error": f"watchdog: no result after {WATCHDOG_SECS}s "
+                     "(TPU tunnel wedged?)",
+        }), flush=True)
         os._exit(17)
 
     t = threading.Timer(WATCHDOG_SECS, _bang)
@@ -123,4 +130,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — the JSON line IS the report
+        if isinstance(e, KeyboardInterrupt):
+            raise
+        import traceback
+
+        traceback.print_exc()
+        # backend-init failures (dead tunnel) previously died with a bare
+        # traceback and rc=1, giving the driver a null record (BENCH_r03);
+        # emit the single JSON line with an error field instead
+        print(json.dumps({
+            "metric": "stream_fps_384",
+            "value": None,
+            "unit": "frames/sec/chip",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }), flush=True)
+        raise SystemExit(18)

@@ -64,6 +64,42 @@ def test_fit_closes_validator(tmp_path):
     assert v._child is None  # reaped in the loop's finally
 
 
+def test_sync_validation_dataset_cached(monkeypatch, tmp_path):
+    """make_validation_fn must build its KITTI eval dataset ONCE and reuse it
+    across epochs — the round-2 rebuild-per-epoch bug re-globbed and re-read
+    every CSV manifest on each call (cli/main.py:173-183; VERDICT r3 weak #5)."""
+    from types import SimpleNamespace
+
+    import m4depth_tpu.data as data_mod
+    import m4depth_tpu.eval as eval_mod
+    from m4depth_tpu.cli.main import make_validation_fn
+
+    builds = []
+
+    class FakeDS:
+        def __init__(self, *a, **k):
+            builds.append((a, k))
+
+    fake_metrics = {k: 1.0 for k in ("AbsRel", "SqRel", "RMSE", "RMSE_log",
+                                     "Delta1", "Delta2", "Delta3")}
+    monkeypatch.setattr(data_mod, "SequenceDataset", FakeDS)
+    monkeypatch.setattr(eval_mod, "evaluate", lambda *a, **k: fake_metrics)
+
+    cmd = SimpleNamespace(db_path_config=str(tmp_path / "loc.json"),
+                          ckpt_dir=str(tmp_path / "ckpt"),
+                          num_workers=0, validation_max_batches=2)
+    fn = make_validation_fn(cmd, model=None, db_paths={})
+    out1 = fn(None)
+    out2 = fn(None)
+    assert len(builds) == 1, "dataset rebuilt per validation epoch"
+    assert out1 == out2
+    assert set(out1) == {"abs_rel", "sq_rel", "rmse", "rmsel",
+                         "a1", "a2", "a3"}
+    # the ledger file gained one line per call
+    with open(tmp_path / "ckpt" / "validation-perfs.txt") as f:
+        assert len(f.readlines()) == 2
+
+
 def test_child_command_forwards_model_config():
     """The validation child must rebuild the SAME model: every model-config
     flag is forwarded (a mismatched child fails checkpoint restore)."""
