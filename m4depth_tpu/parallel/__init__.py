@@ -1,4 +1,5 @@
 from m4depth_tpu.parallel.serving import (
+    FreshFrameStream,
     jit_sharded_stream,
     shard_stream_inputs,
     replicate_params,
@@ -16,6 +17,7 @@ from m4depth_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "FreshFrameStream",
     "jit_sharded_stream",
     "shard_stream_inputs",
     "replicate_params",

@@ -77,6 +77,49 @@ def test_sharded_streams_match_single_device(setup):
         assert len(leaf.sharding.device_set) == len(jax.devices())
 
 
+def test_fresh_frame_stream_matches_sequential(setup):
+    """FreshFrameStream pipelines h2d under compute but must produce exactly
+    the sequential streaming results, one frame late (the online predict
+    loop, main.py:163-172)."""
+    from m4depth_tpu.parallel import FreshFrameStream
+
+    cfg, model, params, rgb, rot, trans, cam, bhw = setup
+    b, h, w = bhw
+    expected = _run_single(model, params, rgb, rot, trans, cam, cfg, bhw)
+
+    sess = FreshFrameStream(model, params, init_state(cfg, b, h, w),
+                            donate_state=False)
+    outs = []
+    for t, frame in enumerate(rgb):
+        # push with DISTINCT host arrays each call, as a live feed would
+        d = sess.push(np.asarray(frame), np.asarray(rot), np.asarray(trans),
+                      Camera(np.asarray(cam.f), np.asarray(cam.c)),
+                      np.full((b,), t == 0))
+        outs.append(d)
+    outs.append(sess.flush())
+    assert outs[0] is None  # pipeline latency: first push returns nothing
+    got = [np.asarray(d) for d in outs[1:]]
+    for t in range(len(rgb)):
+        np.testing.assert_allclose(got[t], expected[t], rtol=2e-3, atol=2e-3,
+                                   err_msg=f"frame {t}")
+    # flush drained the pipeline; another flush is a no-op
+    assert sess.flush() is None
+
+
+def test_fresh_frame_stream_donated_state(setup):
+    """Default donate_state=True must keep working across pushes (steady-
+    state serving allocates nothing)."""
+    from m4depth_tpu.parallel import FreshFrameStream
+
+    cfg, model, params, rgb, rot, trans, cam, bhw = setup
+    b, h, w = bhw
+    sess = FreshFrameStream(model, params, init_state(cfg, b, h, w))
+    for t, frame in enumerate(rgb):
+        sess.push(frame, rot, trans, cam, jnp.full((b,), t == 0))
+    d = sess.flush()
+    assert np.all(np.isfinite(np.asarray(d)))
+
+
 def test_sharded_stream_step_is_collective_free(setup):
     cfg, model, params, rgb, rot, trans, cam, bhw = setup
     b, h, w = bhw
