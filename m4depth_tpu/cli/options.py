@@ -98,11 +98,18 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="Cost-volume correlation dtype (the reference "
                         "hardcoded fp16, depth_operations.py:276-278)")
     g.add_argument("--dscv_impl", default="split",
-                   choices=["split", "fused", "flat", "expanded", "gather"],
+                   choices=["split", "rows", "fused", "flat", "expanded",
+                            "gather"],
                    help="DSCV formulation: chunked expanded static shifts "
-                        "(TPU-fast default), Pallas fused reduce (forward-"
+                        "(TPU-fast default), dy-row fetches off a slim "
+                        "operand (rows), Pallas fused reduce (forward-"
                         "only serving path), single-fetch expanded variants, "
                         "or direct per-hypothesis warp")
+    g.add_argument("--remat_policy", default="dscv",
+                   choices=["dscv", "all"],
+                   help="With --remat: checkpoint only the DSCV (recompute "
+                        "its multi-GB expansion/gather temps in the "
+                        "backward) or the whole decoder level")
     g.add_argument("--dscv_bwd", default="xla",
                    choices=["xla", "corner", "pallas"],
                    help="Split-DSCV backward strategy (training hot spot; "
@@ -127,9 +134,10 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "reference had none and documents NaN crashes "
                         "(README.md:153)")
     g.add_argument("--lr_schedule", default="constant",
-                   choices=["constant", "staircase"],
-                   help="constant (main.py:92) or the legacy halving at "
-                        "60k/120k/180k/240k/300k steps")
+                   choices=["constant", "staircase", "cosine"],
+                   help="constant (main.py:92), the legacy halving at "
+                        "60k/120k/180k/240k/300k steps, or warmup-cosine "
+                        "decay over total_steps (VALIDATION.md recipe)")
     g.add_argument("--seed", default=42, type=int,
                    help="Init/shuffle seed (main.py:76 uses 42)")
     g.add_argument("--data_mesh", default=-1, type=int,
@@ -182,6 +190,7 @@ def model_config_from_args(cmd, depth_type: str = "map") -> ModelConfig:
         time_axis=getattr(cmd, "time_axis", "auto"),
         scan_unroll=getattr(cmd, "scan_unroll", 2),
         remat=getattr(cmd, "remat", False),
+        remat_policy=getattr(cmd, "remat_policy", "dscv"),
     )
 
 

@@ -52,6 +52,9 @@ class ModelConfig:
                                       # depth_operations.py:276-278; bf16 is TPU-native)
     dscv_impl: str = "split"          # "split": chunked expanded-shift DSCV
                                       # (default; fast-regime row gathers);
+                                      # "rows": d/G rows per pixel from a
+                                      # G*d-shift operand — collapses the
+                                      # d^2 expansion build (G = row_group);
                                       # "fused": split build/gather + Pallas
                                       # fused reduce (forward-only — the
                                       # serving/eval fast path);
@@ -59,6 +62,10 @@ class ModelConfig:
                                       # "expanded": spatial-layout expanded
                                       # form; "gather": direct per-hypothesis
                                       # warp (reference formulation)
+    dscv_row_group: int = 1           # "rows" impl: y-shifts packed per
+                                      # fetched row (must divide 2r+2);
+                                      # trades build/operand bytes (G*d*ch*n)
+                                      # against gather row count ((d/G)*n)
     sncv_impl: str = "xla"            # "xla": static-slice formulation;
                                       # "pallas": fused VMEM-resident kernel
     dscv_para_direct: bool = False    # keep the expanded map features-only
@@ -92,6 +99,18 @@ class ModelConfig:
     remat: bool = False               # rematerialize decoder levels in the
                                       # backward pass (trade FLOPs for HBM;
                                       # large frames / long windows)
+    remat_policy: str = "dscv"        # with remat=True: "all" checkpoints
+                                      # the whole decoder level (max memory
+                                      # savings, blanket recompute tax —
+                                      # measured 96 vs 62 ms/frame at T=8,
+                                      # DEVELOPMENT.md "Time-axis scan");
+                                      # "dscv" saves every level intermediate
+                                      # EXCEPT the DSCV expansion/gather
+                                      # temps (the multi-GB per-frame
+                                      # residuals that force remat in the
+                                      # first place) so the backward only
+                                      # re-runs the bandwidth-cheap
+                                      # build+fetch instead of the full level
     time_axis: str = "auto"           # "auto": unroll T <= 5, scan beyond;
                                       # "scan": lax.scan over frames 1..T-1
                                       # (O(1) trace/compile cost in T; plain

@@ -37,6 +37,7 @@ from m4depth_tpu.ops.cost_volume import (
     parallax_sweeping_cv_expanded,
     parallax_sweeping_cv_flat,
     parallax_sweeping_cv_fused,
+    parallax_sweeping_cv_rows,
     parallax_sweeping_cv_split,
     spatial_cost_volume,
 )
@@ -197,7 +198,8 @@ class DecoderLevel(nn.Module):
         # the model only consumes the center hypothesis' warped parallax
         # (parity: m4depth_network.py:238-241); "split" supports skipping the
         # weight contraction for the rest, the other impls return all 2r+1
-        para_hyps = ((center,) if self.cfg.dscv_impl in ("split", "fused")
+        para_hyps = ((center,)
+                     if self.cfg.dscv_impl in ("split", "fused", "rows")
                      else tuple(range(2 * center + 1)))
         dscv = {
             "split": functools.partial(
@@ -207,6 +209,10 @@ class DecoderLevel(nn.Module):
                 store_int8=self.cfg.dscv_store_int8,
                 para_direct_warp=self.cfg.dscv_para_direct,
                 bwd_impl=self.cfg.dscv_bwd),
+            "rows": functools.partial(
+                parallax_sweeping_cv_rows,
+                row_group=self.cfg.dscv_row_group,
+                para_hyps=para_hyps),
             "fused": functools.partial(
                 parallax_sweeping_cv_fused,
                 chunk_bytes=self.cfg.dscv_chunk_bytes),
@@ -214,11 +220,20 @@ class DecoderLevel(nn.Module):
             "expanded": parallax_sweeping_cv_expanded,
             "gather": parallax_sweeping_cv,
         }[self.cfg.dscv_impl]
-        cv, para_reproj = dscv(
-            curr_p, prev_p, para_prev_t, prev_l.parallax, rot, trans, camera,
-            self.cfg.search_range, num_cuts=cuts,
-            cv_dtype=jnp.dtype(self.cfg.cv_dtype),
-        )
+        dscv_call = functools.partial(
+            dscv, search_range=self.cfg.search_range, num_cuts=cuts,
+            cv_dtype=jnp.dtype(self.cfg.cv_dtype))
+        if self.cfg.remat and self.cfg.remat_policy == "dscv":
+            # selective remat: checkpoint ONLY the DSCV so its d^2-expanded
+            # build/gather temps (hundreds of MB per frame+level at 384^2,
+            # the residuals that OOM T >= 6 windows) are recomputed in the
+            # backward from the op's small inputs, while every conv/SNCV
+            # activation outside stays stored. Cheaper than blanket level
+            # remat (remat_policy="all"): the re-run is the bandwidth-bound
+            # expansion+fetch, not the whole level body.
+            dscv_call = jax.checkpoint(dscv_call)
+        cv, para_reproj = dscv_call(
+            curr_p, prev_p, para_prev_t, prev_l.parallax, rot, trans, camera)
 
         log_safe = lambda x: jnp.log(jnp.maximum(x, 1e-12))  # noqa: E731
         inputs = [cv, log_safe(prev_l.parallax * self.lvl_mul)]

@@ -52,8 +52,25 @@ class M4Depth(nn.Module):
     cfg: ModelConfig
 
     def setup(self):
-        level_cls = (nn.remat(DecoderLevel, static_argnums=())
-                     if self.cfg.remat else DecoderLevel)
+        if self.cfg.remat and self.cfg.remat_policy == "all":
+            # blanket: recompute the full level body in the backward
+            level_cls = nn.remat(DecoderLevel, static_argnums=())
+        elif self.cfg.remat and self.cfg.remat_policy == "dscv":
+            # selective: DecoderLevel wraps ONLY its DSCV call in
+            # jax.checkpoint (decoder.py), so the multi-GB d^2-expanded
+            # build/gather temps — the very tensors that force remat at
+            # T >= 6, DEVELOPMENT.md "Time-axis scan" — are recomputed in
+            # the backward while conv/SNCV activations stay stored.
+            # (A names-based save_anything_except policy does NOT work
+            # here: XLA saves the named value's producer instead — same
+            # bytes, measured OOM at T=8.)
+            level_cls = DecoderLevel
+        elif self.cfg.remat:
+            raise ValueError(
+                f"remat_policy must be 'dscv' or 'all', "
+                f"got {self.cfg.remat_policy!r}")
+        else:
+            level_cls = DecoderLevel
         self.encoder = Encoder(self.cfg, name="encoder")
         self.levels = [
             level_cls(self.cfg, level=i + 1, name=f"level_{i + 1}")

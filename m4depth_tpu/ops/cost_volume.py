@@ -18,10 +18,25 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
 
 from m4depth_tpu.geometry.camera import Camera
 from m4depth_tpu.geometry.parallax import epipolar_terms, parallax_sweep_flows
 from m4depth_tpu.ops.warp import dense_image_warp
+
+# Intermediates of the expanded-shift DSCV that scale with d^2 * ch * n —
+# hundreds of MB per (frame, level) at 384^2. Under `remat_policy="dscv"`
+# the decoder-level checkpoint saves everything EXCEPT these, so the
+# backward re-runs only the bandwidth-cheap expansion + row fetch instead
+# of recomputing the whole level body (the blanket-remat tax). The names
+# are identity ops outside jax.checkpoint — no effect on the forward HLO.
+DSCV_REMAT_NAMES = (
+    "dscv_exp_y",       # y-expanded map [b,h,w,d*ch]
+    "dscv_expanded",    # per-chunk x-expansion [b,h,w,nd*d*ch]
+    "dscv_fetched",     # per-chunk gathered rows [b,n,nd*d*ch]
+    "dscv_patch",       # reshape view [b,n,nd,d,ch]
+    "dscv_feat",        # feature slice [b,n,nd,d,cuts,cc]
+)
 
 
 def _saturating_cast(x: jnp.ndarray, dtype: jnp.dtype) -> jnp.ndarray:
@@ -180,6 +195,131 @@ def parallax_sweeping_cv_flat(
         search_range, num_cuts=num_cuts, cv_dtype=cv_dtype, n_chunks=1)
 
 
+def parallax_sweeping_cv_rows(
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    para_prev_t: jnp.ndarray,
+    para_sweep_center: jnp.ndarray,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    camera: Camera,
+    search_range: int,
+    num_cuts: int = 1,
+    cv_dtype: jnp.dtype = jnp.bfloat16,
+    row_group: int = 1,
+    para_hyps: Optional[Tuple[int, ...]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Expanded-shift DSCV fetched as d/G rows per pixel — the cheap-build
+    formulation.
+
+    Same tap set and weights as :func:`parallax_sweeping_cv_split` (bit-equal
+    math in f32), but the d^2 shift expansion never exists in memory: the
+    operand packs only ``row_group`` (G) y-shifts x d x-shifts per spatial
+    row, and each pixel fetches d/G rows at bases (cy + g*G, cx). The build
+    traffic drops from (d + d^2)*ch*n bytes (exp_y + chunk concats — the
+    measured relayout-heavy side of the split impl, DEVELOPMENT.md "the
+    layout war") to G*d*ch*n, at the cost of (d/G)x more gather rows:
+
+        G = d : one row per pixel, (d^2*ch)-wide operand — the unchunked
+                flat form;
+        G = 1 : d rows per pixel from a (d*ch)-wide operand — 10x less
+                build+operand traffic at 10x the (cheap, coherent) row count.
+
+    The fetched bytes, the patch reduces, and the weight contraction are
+    byte-identical to split at every G; only the build side and the gather
+    row/width trade move. Replaces the same reference kernel
+    (cuda_backproject/backproject_op_gpu.cu.cc:20-103).
+    """
+    b, h, w, C = c1.shape
+    n = h * w
+    s = 2 * search_range + 1
+    d = 2 * search_range + 2
+    cc = C // num_cuts
+    ch = C + 1
+    G = row_group
+    if d % G != 0:
+        raise ValueError(f"row_group must divide {d}, got {G}")
+    groups = d // G
+
+    e = epipolar_terms(h, w, rot, trans, camera)
+    unit = (e.delta / jnp.maximum(e.rho, 1e-12)).reshape(b, n, 1, 2)
+    proj = e.proj.reshape(b, n, 1, 2)
+    disp0 = jnp.clip(para_sweep_center, 1e-6, 1e6).reshape(b, n, 1)
+    grid_off = camera.c.reshape(b, 1, 1, 2) - 0.5
+    offsets = jnp.arange(-search_range, search_range + 1, dtype=jnp.float32)
+    disp_k = jnp.clip(disp0 + offsets.reshape(1, 1, -1), 1e-6, 1e6)
+    q = proj + unit * disp_k[..., None] + grid_off        # [b,n,s,2]
+    qx, qy = q[..., 0], q[..., 1]
+    cx = jnp.clip(jnp.floor(qx[..., search_range]), 0, w - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor(qy[..., search_range]), 0, h - 1).astype(jnp.int32)
+
+    combined = jnp.concatenate(
+        [c2.astype(cv_dtype), _saturating_cast(para_prev_t, cv_dtype)],
+        axis=-1)
+    padded = jnp.pad(
+        combined,
+        ((0, 0), (search_range, search_range + 1),
+         (search_range, search_range + 1), (0, 0)),
+        mode="edge")
+
+    # operand: spatial row y holds y-shifts [y, y+G) x x-shifts [0, d),
+    # (dy-major, dx, ch) channel order within the row — built ONCE (G*d*ch
+    # wide), vs the split impl's d^2*ch of chunk concats
+    ny = h + d - G
+    exp = checkpoint_name(jnp.concatenate(
+        [padded[:, dyl:dyl + ny, dx:dx + w, :]
+         for dyl in range(G) for dx in range(d)], axis=-1), "dscv_exp_y")
+    flat = checkpoint_name(exp.reshape(b, ny * w, G * d * ch), "dscv_exp_y")
+
+    x0 = jnp.clip(jnp.floor(qx), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
+    ax = jnp.clip(qx - x0, 0.0, 1.0)
+    ay = jnp.clip(qy - y0, 0.0, 1.0)
+    relx = x0.astype(jnp.int32) - cx[..., None]
+    rely = y0.astype(jnp.int32) - cy[..., None]
+    dgrid = jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, d), 3) - search_range
+    wx = ((dgrid == relx[..., None]) * (1.0 - ax[..., None])
+          + (dgrid == relx[..., None] + 1) * ax[..., None]).astype(cv_dtype)
+    wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
+          + (dgrid == rely[..., None] + 1) * ay[..., None]).astype(cv_dtype)
+
+    # one raster-coherent fetch per dy-group (index order must stay pixel-
+    # raster within each gather: a single interleaved [n*groups] gather
+    # measured 10x slower — consecutive indices then jump w rows apart)
+    ks = list(para_hyps) if para_hyps is not None else list(range(s))
+    wxp = wx[:, :, ks]
+    c1r = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
+    base_idx = (cy * w + cx).reshape(b, n, 1)
+    cv = None
+    para_w = None
+    for g in range(groups):
+        fetched = checkpoint_name(
+            jnp.take_along_axis(flat, base_idx + (g * G) * w, axis=1,
+                                mode="promise_in_bounds"), "dscv_fetched")
+        patch = checkpoint_name(fetched.reshape(b, n, G, d, ch),
+                                "dscv_patch")
+        feat = checkpoint_name(
+            patch[..., :C].reshape(b, n, G, d, num_cuts, cc), "dscv_feat")
+        corr_g = (c1r * feat).mean(axis=-1)               # [b,n,G,dx,cuts]
+        para_g = patch[..., C]                            # [b,n,G,dx]
+        wy_g = wy[:, :, :, g * G:(g + 1) * G]             # [b,n,s,G]
+        # contract BOTH weight axes within the group (the sums are
+        # separable in any order): the running accumulators are the tiny
+        # [b,n,s,cuts] / [b,n,K] outputs, not a [b,n,s,d,cuts] partial —
+        # a [.,s,d,.] accumulator measured ~25 fps of extra HBM traffic
+        tg = (corr_g[:, :, None] * wx[:, :, :, None, :, None]).sum(axis=4)
+        cv_g = (tg * wy_g[..., None]).sum(axis=3)         # [b,n,s,cuts]
+        pg = (para_g[:, :, None] * wxp[:, :, :, None]).sum(axis=-1)
+        pw_g = (pg * wy_g[:, :, ks]).sum(axis=-1)         # [b,n,K]
+        cv = cv_g if cv is None else cv + cv_g
+        para_w = pw_g if para_w is None else para_w + pw_g
+
+    cv = cv.transpose(0, 1, 3, 2).reshape(b, h, w, num_cuts * s)
+    para_w = para_w.reshape(b, h, w, -1)
+    return cv.astype(jnp.float32), para_w.astype(jnp.float32)
+
+
 def _chunked_fetch(exp_y, idx, w, bounds, d, ch):
     """Chunked x-expansion + per-pixel row fetch.
 
@@ -199,11 +339,14 @@ def _chunked_fetch(exp_y, idx, w, bounds, d, ch):
     outs = []
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         nd = hi - lo
-        expanded = jnp.concatenate(
-            [exp_y[:, :, dx:dx + w, :] for dx in range(lo, hi)], axis=-1)
-        flat = expanded.reshape(b, n, nd * d * ch)
-        outs.append(jnp.take_along_axis(flat, idx, axis=1,
-                                        mode="promise_in_bounds"))
+        expanded = checkpoint_name(jnp.concatenate(
+            [exp_y[:, :, dx:dx + w, :] for dx in range(lo, hi)], axis=-1),
+            "dscv_expanded")
+        flat = checkpoint_name(expanded.reshape(b, n, nd * d * ch),
+                               "dscv_expanded")
+        outs.append(checkpoint_name(
+            jnp.take_along_axis(flat, idx, axis=1,
+                                mode="promise_in_bounds"), "dscv_fetched"))
     return tuple(outs)
 
 
@@ -584,8 +727,9 @@ def parallax_sweeping_cv_split(
     if bwd_impl not in ("xla", "pallas"):
         raise ValueError(f"unknown bwd_impl: {bwd_impl!r}")
 
-    exp_y = jnp.concatenate(
-        [padded[:, dy:dy + h, :, :] for dy in range(d)], axis=-1)
+    exp_y = checkpoint_name(jnp.concatenate(
+        [padded[:, dy:dy + h, :, :] for dy in range(d)], axis=-1),
+        "dscv_exp_y")
 
     idx = (cy * w + cx).reshape(b, n, 1)
 
@@ -604,11 +748,13 @@ def parallax_sweeping_cv_split(
     for (lo, hi), fetched in zip(zip(bounds[:-1], bounds[1:]),
                                  fetched_chunks):
         nd = hi - lo
-        patch = fetched.reshape(b, n, nd, d, ch)
-        feat = patch[..., :C]
+        patch = checkpoint_name(fetched.reshape(b, n, nd, d, ch),
+                                "dscv_patch")
+        feat = checkpoint_name(patch[..., :C], "dscv_feat")
         if store_int8:
             feat = feat.astype(cv_dtype)
-        feat = feat.reshape(b, n, nd, d, num_cuts, cc)
+        feat = checkpoint_name(feat.reshape(b, n, nd, d, num_cuts, cc),
+                               "dscv_feat")
         corr_parts.append((c1r * feat).mean(axis=-1))     # [b,n,nd,d,cuts]
         if para_in_map:
             para_parts.append(patch[..., C])              # [b,n,nd,d]

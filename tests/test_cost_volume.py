@@ -11,6 +11,7 @@ from m4depth_tpu.ops.cost_volume import (
     parallax_sweeping_cv,
     parallax_sweeping_cv_expanded,
     parallax_sweeping_cv_flat,
+    parallax_sweeping_cv_rows,
     parallax_sweeping_cv_split,
     spatial_cost_volume,
 )
@@ -39,6 +40,12 @@ FAST_DSCV_IMPLS = {
                                      bwd_impl="pallas"),
     "split_bwdk3": functools.partial(parallax_sweeping_cv_split, n_chunks=3,
                                      bwd_impl="pallas"),
+    # row-fetch formulation: d/G rows per pixel from a G*d-shift operand
+    # (collapses the d^2 expansion build); every G must be tap-for-tap equal
+    "rows_g1": functools.partial(parallax_sweeping_cv_rows, row_group=1),
+    "rows_g2": functools.partial(parallax_sweeping_cv_rows, row_group=2),
+    "rows_g5": functools.partial(parallax_sweeping_cv_rows, row_group=5),
+    "rows_g10": functools.partial(parallax_sweeping_cv_rows, row_group=10),
 }
 
 

@@ -29,7 +29,13 @@ def main():
     p.add_argument("--dscv_impl", default="split")
     p.add_argument("--sncv_impl", default="xla")
     p.add_argument("--chunk_bytes", type=int, default=30 << 20)
+    p.add_argument("--row_group", type=int, default=1,
+                   help="rows impl: y-shifts per fetched row (divides 2r+2)")
     p.add_argument("--size", type=int, default=384)
+    p.add_argument("--height", type=int, default=0,
+                   help="override --size for non-square geometries "
+                        "(e.g. KITTI 256x768)")
+    p.add_argument("--width", type=int, default=0)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--levels", type=int, default=6)
     p.add_argument("--n", type=int, default=200)
@@ -49,9 +55,12 @@ def main():
     cfg = ModelConfig(num_levels=a.levels, compute_dtype="bfloat16",
                       dscv_impl=a.dscv_impl, sncv_impl=a.sncv_impl,
                       dscv_chunk_bytes=a.chunk_bytes,
+                      dscv_row_group=a.row_group,
                       dscv_para_direct=a.para_direct)
     model = M4Depth(cfg)
-    b, h, w = a.batch, a.size, a.size
+    b = a.batch
+    h = a.height or a.size
+    w = a.width or a.size
     rng = np.random.RandomState(0)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
@@ -70,8 +79,8 @@ def main():
     rot = jnp.tile(jnp.array([[1.0, 0.001, -0.002, 0.0005]], jnp.float32),
                    (b, 1))
     trans = jnp.tile(jnp.array([[0.05, 0.02, 0.4]], jnp.float32), (b, 1))
-    f = jnp.full((b, 2), h / 2.0)
-    c = jnp.full((b, 2), h / 2.0)
+    f = jnp.full((b, 2), min(h, w) / 2.0)
+    c = jnp.tile(jnp.array([[w / 2.0, h / 2.0]], jnp.float32), (b, 1))
     go = jnp.zeros((b,), bool)
 
     state, depth = step(params, state, rgb, rot, trans, f, c,
@@ -89,7 +98,7 @@ def main():
         np.asarray(depth)
         best = min(best, time.perf_counter() - t0)
     print(f"fps={a.n * b / best:.2f}  ms/step={1e3 * best / a.n:.3f}  "
-          f"batch={b} dscv={a.dscv_impl} sncv={a.sncv_impl} size={a.size}")
+          f"batch={b} dscv={a.dscv_impl} sncv={a.sncv_impl} size={h}x{w}")
 
     if a.profile:
         import glob

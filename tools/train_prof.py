@@ -77,6 +77,10 @@ def main():
     ap.add_argument("--time_axis", default="auto")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize decoder levels in the backward")
+    ap.add_argument("--remat_policy", default="dscv", choices=["dscv", "all"],
+                    help="with --remat: 'dscv' saves everything except the "
+                         "DSCV expansion/gather temps; 'all' is blanket")
+    ap.add_argument("--chunk_bytes", type=int, default=30 << 20)
     ap.add_argument("--dscv_impl", default="split")
     ap.add_argument("--no_profile", action="store_true")
     ap.add_argument("--para_direct", action="store_true")
@@ -97,7 +101,8 @@ def main():
 
     cfg = ModelConfig(num_levels=args.levels, compute_dtype="bfloat16",
                       dscv_impl=args.dscv_impl, time_axis=args.time_axis,
-                      remat=args.remat,
+                      remat=args.remat, remat_policy=args.remat_policy,
+                      dscv_chunk_bytes=args.chunk_bytes,
                       dscv_para_direct=args.para_direct,
                       scan_unroll=args.scan_unroll,
                       dscv_bwd=args.dscv_bwd)
@@ -141,7 +146,8 @@ def main():
         best = min(best, (time.perf_counter() - t0) / args.steps)
     print(f"train step: {1e3 * best:.1f} ms  (b={b} T={T} {hw}^2 "
           f"d{args.levels} {args.dscv_impl} time_axis={args.time_axis} "
-          f"remat={args.remat})")
+          f"remat={args.remat}"
+          f"{':' + args.remat_policy if args.remat else ''})")
     if args.no_profile:
         return
 
