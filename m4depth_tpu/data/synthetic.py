@@ -23,6 +23,7 @@ Conventions (must match m4depth_tpu/geometry/parallax.py):
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Iterator
 
 import numpy as np
@@ -218,6 +219,91 @@ class SyntheticGeometricDataset:
                 "camera_c": np.stack([s["camera_c"] for s in seqs]),
                 "new_traj": new_traj,
             }
+
+
+class DeviceSyntheticStream:
+    """``fit``-compatible infinite on-device scene stream.
+
+    Wraps :func:`device_batch_sampler` behind the ``SequenceDataset``
+    interface the training loop consumes (``__len__``/``batch_size``/
+    ``batches``), with epoch boundaries every ``steps_per_epoch`` steps to
+    drive the loop's checkpoint/validation cadence. Batches are produced ON
+    the device (only a folded PRNG key is derived per step), so long runs
+    never touch the leaking tunneled h2d path (DEVELOPMENT.md "Tunnel
+    transport leaks"). The stream is a pure function of (seed, epoch, step):
+    resuming at epoch k replays exactly the scenes a continuous run would
+    have seen.
+    """
+
+    depth_type = "map"
+
+    def __init__(self, batch_size: int, T: int, h: int, w: int,
+                 steps_per_epoch: int = 1000, seed: int = 1234):
+        import jax
+
+        self.batch_size = batch_size
+        self.T = T
+        self.steps_per_epoch = steps_per_epoch
+        self._gen = device_batch_sampler(batch_size, T, h, w)
+        self._key = jax.random.PRNGKey(seed)
+
+    def __len__(self) -> int:
+        return self.steps_per_epoch
+
+    def batches(self, epoch: int):
+        import jax
+
+        for i in range(self.steps_per_epoch):
+            yield self._gen(jax.random.fold_in(
+                self._key, epoch * self.steps_per_epoch + i))
+
+
+def export_midair_format(db_dir: str, records_dir: str, n_traj: int,
+                         frames: int, h: int, w: int, seed: int = 7777,
+                         image_format: str = "png") -> int:
+    """Write synthetic scenes to disk in the Mid-Air on-disk layout.
+
+    Produces what `scripts/midair-split-generator.py` (reference :24-95)
+    produces from the real dataset: per-trajectory TSV manifests
+    (``id  camera_l  disp  qw qx qy qz  tx ty tz``) plus color images and
+    float16-bitcast disparity PNGs (disp = 512/depth,
+    dataloaders/midair.py:49-55) — so the full CLI train/eval/validation
+    stack (adapters, decode, metrics, subprocess validation, best-K ledger)
+    runs end-to-end against data with analytically exact ground truth.
+    Intrinsics f = c = half-size match the MidAirAdapter convention.
+
+    Returns the number of frames written.
+    """
+    import cv2
+
+    os.makedirs(db_dir, exist_ok=True)
+    written = 0
+    for t in range(n_traj):
+        rng = np.random.RandomState((seed * 9176 + t) % (2 ** 31 - 1))
+        seq = make_sequence(rng, frames, h, w)
+        traj_dir = os.path.join(db_dir, f"traj_{t:04d}")
+        os.makedirs(traj_dir, exist_ok=True)
+        rec_dir = os.path.join(records_dir, f"traj_{t:04d}")
+        os.makedirs(rec_dir, exist_ok=True)
+        lines = ["id\tcamera_l\tdisp\tqw\tqx\tqy\tqz\ttx\tty\ttz"]
+        for i in range(frames):
+            rgb8 = np.clip(seq["RGB_im"][i] * 255.0 + 0.5, 0,
+                           255).astype(np.uint8)
+            img_rel = f"traj_{t:04d}/c_{i:04d}.{image_format}"
+            cv2.imwrite(os.path.join(db_dir, img_rel), rgb8[..., ::-1])
+            disp16 = (512.0 / seq["depth"][i, ..., 0]).astype(np.float16)
+            d_rel = f"traj_{t:04d}/d_{i:04d}.png"
+            cv2.imwrite(os.path.join(db_dir, d_rel), disp16.view(np.uint16))
+            q = seq["rot"][i]
+            tr = seq["trans"][i]
+            lines.append(
+                f"{i}\t{img_rel}\t{d_rel}\t"
+                f"{q[0]:.9g}\t{q[1]:.9g}\t{q[2]:.9g}\t{q[3]:.9g}\t"
+                f"{tr[0]:.9g}\t{tr[1]:.9g}\t{tr[2]:.9g}")
+            written += 1
+        with open(os.path.join(rec_dir, "traj.csv"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    return written
 
 
 def device_batch_sampler(batch_size: int, T: int, h: int, w: int):

@@ -69,7 +69,11 @@ class MetricAccumulator(NamedTuple):
                weight: jnp.ndarray | float = 1.0) -> "MetricAccumulator":
         vec = jnp.stack([metrics[name] for name in METRIC_NAMES])
         w = jnp.asarray(weight, jnp.float32)
-        return MetricAccumulator(totals=self.totals + vec * w,
+        # a skipped frame (weight 0 — e.g. new_traj in streaming eval) must
+        # contribute NOTHING even if its metrics are non-finite: NaN * 0 is
+        # NaN and would poison the running totals for good
+        vec = jnp.where(w > 0, vec * w, 0.0)
+        return MetricAccumulator(totals=self.totals + vec,
                                  count=self.count + w)
 
     def result(self) -> Dict[str, jnp.ndarray]:

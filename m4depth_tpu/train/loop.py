@@ -119,7 +119,8 @@ def fit(
                                learning_rate=cfg.learning_rate,
                                lr_schedule=lr_schedule,
                                grad_clip_norm=getattr(cfg, "grad_clip_norm",
-                                                      0.0))
+                                                      0.0),
+                               total_steps=total_steps)
 
     ckpt_dir = os.path.join(cfg.ckpt_dir, "train")
     ckpt_mgr = TrainCheckpointManager(ckpt_dir, max_keep=cfg.keep_last_n)

@@ -163,15 +163,30 @@ def jit_data_parallel(step_fn, mesh: Mesh, donate_state: bool = True):
     )
 
 
-def make_lr_schedule(learning_rate: float, schedule: str = "constant"):
-    """"constant" (main.py:92) or "staircase" — halve at 60k/120k/180k/
-    240k/300k steps (legacy parity, .legacy/m4depth_pipeline.py:192-196)."""
+def make_lr_schedule(learning_rate: float, schedule: str = "constant",
+                     total_steps: int = 0):
+    """"constant" (main.py:92), "staircase" — halve at 60k/120k/180k/
+    240k/300k steps (legacy parity, .legacy/m4depth_pipeline.py:192-196) —
+    or "cosine" (200-step warmup, decay to 5% over ``total_steps``; the
+    recipe VALIDATION.md's long synthetic runs converged best with).
+
+    Always returns a callable so the Adam state structure (and therefore
+    checkpoint restorability across processes with different flags — e.g.
+    the validation subprocess) is schedule-independent.
+    """
     if schedule == "staircase":
         return optax.piecewise_constant_schedule(
             learning_rate,
             {60_000: 0.5, 120_000: 0.5, 180_000: 0.5, 240_000: 0.5,
              300_000: 0.5})
-    return learning_rate
+    if schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup_steps=200,
+            decay_steps=max(total_steps, 1000),
+            end_value=learning_rate * 0.05)
+    if schedule != "constant":
+        raise ValueError(f"unknown lr_schedule: {schedule!r}")
+    return optax.constant_schedule(learning_rate)
 
 
 def create_train_state(
@@ -181,16 +196,25 @@ def create_train_state(
     learning_rate: float = 1e-4,
     lr_schedule: str = "constant",
     grad_clip_norm: float = 0.0,
+    total_steps: int = 0,
 ) -> TrainState:
     """Initialize params (requires T >= 2 in the sample) + Adam optimizer.
 
     Parity: Adam(1e-4) (main.py:92). Optional global-norm gradient clipping
     (the reference had none and documents NaN crashes, README.md:153).
+
+    The optimizer state STRUCTURE is identical for every (schedule, clip)
+    combination — the clip slot is filled with ``optax.identity`` when off —
+    so a checkpoint written under any flags restores in a process built with
+    any others (the validation subprocess builds its restore target with
+    defaults, cli/main.py:350-356).
     """
     params = jax.jit(model.init)(
         rng, sample_batch["rgb"], sample_batch["rot"],
         sample_batch["trans"], batch_camera(sample_batch))
-    tx = optax.adam(make_lr_schedule(learning_rate, lr_schedule))
-    if grad_clip_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
+    tx = optax.adam(
+        make_lr_schedule(learning_rate, lr_schedule, total_steps))
+    clip = (optax.clip_by_global_norm(grad_clip_norm)
+            if grad_clip_norm > 0 else optax.identity())
+    tx = optax.chain(clip, tx)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)

@@ -117,3 +117,19 @@ class TestMetrics:
         acc = acc.update(m_bad, weight=1.0)
         res = acc.result()
         np.testing.assert_allclose(float(res["AbsRel"]), 1.0, atol=1e-5)
+
+    def test_accumulator_skipped_nan_does_not_poison(self):
+        """A weight-0 (skipped) frame with non-finite metrics must contribute
+        nothing: an untrained net can emit NaN estimates on a new_traj frame,
+        and NaN * 0 would have poisoned the running totals for good (found
+        live by the rehearsal's subprocess validation — AbsRel came back NaN
+        while the Deltas, whose comparisons squash NaN, stayed finite)."""
+        acc = MetricAccumulator.zeros()
+        gt = jnp.full((1, 4, 4, 1), 10.0, jnp.float32)
+        m_good = compute_metrics(gt, gt)
+        m_nan = {k: jnp.asarray(float("nan")) for k in m_good}
+        acc = acc.update(m_nan, weight=0.0)   # skipped new_traj frame
+        acc = acc.update(m_good, weight=1.0)
+        res = acc.result()
+        assert np.isfinite(float(res["AbsRel"]))
+        np.testing.assert_allclose(float(res["AbsRel"]), 0.0, atol=1e-6)

@@ -56,6 +56,48 @@ class TestSyntheticGeometry:
         np.testing.assert_allclose(again["rgb"], batches[0]["rgb"])
 
 
+class TestExportMidAirFormat:
+    def test_roundtrip_through_adapter(self, tmp_path):
+        """Scenes exported to the Mid-Air on-disk layout must decode back
+        through the real MidAirAdapter/SequenceDataset path with exact
+        motion, near-exact depth (fp16 disparity storage) and 8-bit-exact
+        color — the basis of the full-scale rehearsal's live validation."""
+        import pytest
+
+        pytest.importorskip("cv2")
+        from m4depth_tpu.data import SequenceDataset, get_adapter
+        from m4depth_tpu.data.synthetic import (
+            export_midair_format,
+            make_sequence,
+        )
+
+        db = tmp_path / "db"
+        rec = tmp_path / "records"
+        n = export_midair_format(str(db), str(rec), n_traj=1, frames=3,
+                                 h=40, w=40, seed=5)
+        assert n == 3
+        seq = make_sequence(
+            np.random.RandomState((5 * 9176 + 0) % (2 ** 31 - 1)), 3, 40, 40)
+
+        ds = SequenceDataset(get_adapter("midair"), db_path=str(db),
+                             records_path=str(rec), usecase="eval",
+                             db_seq_len=None, seq_len=3, batch_size=1,
+                             augment=False, out_size=(40, 40), num_workers=0)
+        frames = list(ds.frames())
+        assert len(frames) == 3
+        for i, fr in enumerate(frames):
+            np.testing.assert_allclose(fr["rot"][0], seq["rot"][i],
+                                       rtol=0, atol=1e-6)
+            np.testing.assert_allclose(fr["trans"][0], seq["trans"][i],
+                                       rtol=0, atol=1e-6)
+            assert bool(fr["new_traj"][0]) == (i == 0)
+            np.testing.assert_allclose(fr["depth"][0], seq["depth"][i],
+                                       rtol=2e-3, atol=0)  # fp16 disparity
+            np.testing.assert_allclose(fr["rgb"][0], seq["RGB_im"][i],
+                                       atol=1.0 / 255.0 + 1e-6)
+            np.testing.assert_allclose(fr["camera_f"][0], seq["camera_f"])
+
+
 class TestDeviceGenerator:
     def test_device_scenes_photometrically_consistent(self):
         """The on-device generator must satisfy the same warp invariant as
