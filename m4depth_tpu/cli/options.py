@@ -97,14 +97,20 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16", "float16"],
                    help="Cost-volume correlation dtype (the reference "
                         "hardcoded fp16, depth_operations.py:276-278)")
-    g.add_argument("--dscv_impl", default="split",
+    g.add_argument("--dscv_impl", default="rows",
                    choices=["split", "rows", "fused", "flat", "expanded",
                             "gather"],
-                   help="DSCV formulation: chunked expanded static shifts "
-                        "(TPU-fast default), dy-row fetches off a slim "
-                        "operand (rows), Pallas fused reduce (forward-"
+                   help="DSCV formulation: dy-row fetches off a slim "
+                        "operand (rows, TPU-fast default), chunked expanded "
+                        "static shifts (split), Pallas fused reduce (forward-"
                         "only serving path), single-fetch expanded variants, "
                         "or direct per-hypothesis warp")
+    g.add_argument("--dscv_row_group", type=int, default=2,
+                   help="rows impl: y-shifts packed per fetched row (must "
+                        "divide 2*search_range+2; measured optimum 2)")
+    g.add_argument("--dscv_chunk_bytes", type=int, default=30 << 20,
+                   help="split impl: target bytes per gather chunk "
+                        "(per-geometry table in DEVELOPMENT.md)")
     g.add_argument("--remat_policy", default="dscv",
                    choices=["dscv", "all"],
                    help="With --remat: checkpoint only the DSCV (recompute "
@@ -184,7 +190,9 @@ def model_config_from_args(cmd, depth_type: str = "map") -> ModelConfig:
         depth_type=depth_type,
         compute_dtype=cmd.compute_dtype,
         cv_dtype=getattr(cmd, "cv_dtype", "bfloat16"),
-        dscv_impl=getattr(cmd, "dscv_impl", "split"),
+        dscv_impl=getattr(cmd, "dscv_impl", "rows"),
+        dscv_row_group=getattr(cmd, "dscv_row_group", 2),
+        dscv_chunk_bytes=getattr(cmd, "dscv_chunk_bytes", 30 << 20),
         dscv_bwd=getattr(cmd, "dscv_bwd", "xla"),
         sncv_impl=getattr(cmd, "sncv_impl", "xla"),
         time_axis=getattr(cmd, "time_axis", "auto"),

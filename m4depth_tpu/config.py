@@ -50,11 +50,14 @@ class ModelConfig:
     compute_dtype: str = "float32"    # conv/correlation dtype: "float32" | "bfloat16"
     cv_dtype: str = "bfloat16"        # correlation accumulate dtype (reference used fp16,
                                       # depth_operations.py:276-278; bf16 is TPU-native)
-    dscv_impl: str = "split"          # "split": chunked expanded-shift DSCV
-                                      # (default; fast-regime row gathers);
-                                      # "rows": d/G rows per pixel from a
-                                      # G*d-shift operand — collapses the
-                                      # d^2 expansion build (G = row_group);
+    dscv_impl: str = "rows"           # "rows" (default): d/G rows per pixel
+                                      # from a G*d-shift operand — collapses
+                                      # the d^2 expansion build (G =
+                                      # row_group); measured fastest at G=2
+                                      # (209 fps stream / 220 ms train step
+                                      # vs split's 196/246, round 4);
+                                      # "split": chunked expanded-shift DSCV
+                                      # (round-2/3 default);
                                       # "fused": split build/gather + Pallas
                                       # fused reduce (forward-only — the
                                       # serving/eval fast path);
@@ -62,7 +65,7 @@ class ModelConfig:
                                       # "expanded": spatial-layout expanded
                                       # form; "gather": direct per-hypothesis
                                       # warp (reference formulation)
-    dscv_row_group: int = 1           # "rows" impl: y-shifts packed per
+    dscv_row_group: int = 2           # "rows" impl: y-shifts packed per
                                       # fetched row (must divide 2r+2);
                                       # trades build/operand bytes (G*d*ch*n)
                                       # against gather row count ((d/G)*n)

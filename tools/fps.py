@@ -26,10 +26,10 @@ except Exception:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--dscv_impl", default="split")
+    p.add_argument("--dscv_impl", default="rows")
     p.add_argument("--sncv_impl", default="xla")
     p.add_argument("--chunk_bytes", type=int, default=30 << 20)
-    p.add_argument("--row_group", type=int, default=1,
+    p.add_argument("--row_group", type=int, default=2,
                    help="rows impl: y-shifts per fetched row (divides 2r+2)")
     p.add_argument("--size", type=int, default=384)
     p.add_argument("--height", type=int, default=0,

@@ -81,7 +81,9 @@ def main():
                     help="with --remat: 'dscv' saves everything except the "
                          "DSCV expansion/gather temps; 'all' is blanket")
     ap.add_argument("--chunk_bytes", type=int, default=30 << 20)
-    ap.add_argument("--dscv_impl", default="split")
+    ap.add_argument("--dscv_impl", default="rows")
+    ap.add_argument("--row_group", type=int, default=2,
+                    help="rows impl: y-shifts per fetched row (divides 2r+2)")
     ap.add_argument("--no_profile", action="store_true")
     ap.add_argument("--para_direct", action="store_true")
     ap.add_argument("--scan_unroll", type=int, default=2)
@@ -105,6 +107,7 @@ def main():
                       dscv_chunk_bytes=args.chunk_bytes,
                       dscv_para_direct=args.para_direct,
                       scan_unroll=args.scan_unroll,
+                      dscv_row_group=args.row_group,
                       dscv_bwd=args.dscv_bwd)
     model = M4Depth(cfg)
     b, T, hw = args.batch, args.seq, args.size
