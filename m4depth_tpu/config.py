@@ -69,6 +69,17 @@ class ModelConfig:
                                       # fetched row (must divide 2r+2);
                                       # trades build/operand bytes (G*d*ch*n)
                                       # against gather row count ((d/G)*n)
+    dscv_x_window: int = 0            # "rows" impl: direction-narrowed
+                                      # fetch box ("octant" lever) — fetch
+                                      # only this many of the d x-shifts
+                                      # per dy-group at a per-(pixel,group)
+                                      # dynamic column base. 0 = off
+                                      # (exact). EXACT only for steep
+                                      # epipolar fields (needs dn >= G+4 at
+                                      # |unit_x| <= |unit_y|); shallow
+                                      # directions silently lose weight
+                                      # mass — measurement/ablation knob,
+                                      # not a general-motion option
     sncv_impl: str = "xla"            # "xla": static-slice formulation;
                                       # "pallas": fused VMEM-resident kernel
     dscv_para_direct: bool = False    # keep the expanded map features-only

@@ -208,6 +208,7 @@ def parallax_sweeping_cv_rows(
     cv_dtype: jnp.dtype = jnp.bfloat16,
     row_group: int = 1,
     para_hyps: Optional[Tuple[int, ...]] = None,
+    x_window: int = 0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expanded-shift DSCV fetched as d/G rows per pixel — the cheap-build
     formulation.
@@ -229,6 +230,20 @@ def parallax_sweeping_cv_rows(
     byte-identical to split at every G; only the build side and the gather
     row/width trade move. Replaces the same reference kernel
     (cuda_backproject/backproject_op_gpu.cu.cc:20-103).
+
+    ``x_window`` (the direction-narrowed fetch box, the round-3/4
+    "octant" lever): when dn = x_window in [2, d) is set, each dy-group
+    fetches only dn of the d x-shifts, at a per-(pixel, group) dynamic
+    column base derived from the epipolar direction (the min in-group tap
+    offset) — the gather index is per-pixel dynamic anyway, so the
+    direction-dependent base costs nothing and no lax.switch over octant
+    variants is needed. Fetched bytes and operand build bytes both scale
+    by dn/d. EXACT only where the per-group tap x-spread fits the window:
+    spread ~ |unit_x/unit_y|*(G+1) + 2, so steep epipolar fields
+    (|unit_x| <= |unit_y|) are covered by dn >= G+3 while shallow fields
+    need the full d (out-of-window taps silently lose their weight mass).
+    Callers must gate on the motion/field or accept the approximation;
+    the shipped default keeps x_window off.
     """
     b, h, w, C = c1.shape
     n = h * w
@@ -290,6 +305,11 @@ def parallax_sweeping_cv_rows(
     ks = list(para_hyps) if para_hyps is not None else list(range(s))
     wxp = wx[:, :, ks]
     c1r = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
+    if x_window:
+        return _rows_narrow_loop(
+            b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts, cv_dtype,
+            x_window, search_range, padded, ny, cy, cx, relx, rely, ax,
+            wy, c1r, ks)
     base_idx = (cy * w + cx).reshape(b, n, 1)
     cv = None
     para_w = None
@@ -312,6 +332,67 @@ def parallax_sweeping_cv_rows(
         cv_g = (tg * wy_g[..., None]).sum(axis=3)         # [b,n,s,cuts]
         pg = (para_g[:, :, None] * wxp[:, :, :, None]).sum(axis=-1)
         pw_g = (pg * wy_g[:, :, ks]).sum(axis=-1)         # [b,n,K]
+        cv = cv_g if cv is None else cv + cv_g
+        para_w = pw_g if para_w is None else para_w + pw_g
+
+    cv = cv.transpose(0, 1, 3, 2).reshape(b, h, w, num_cuts * s)
+    para_w = para_w.reshape(b, h, w, -1)
+    return cv.astype(jnp.float32), para_w.astype(jnp.float32)
+
+
+def _rows_narrow_loop(b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts,
+                      cv_dtype, dn, r, padded, ny, cy, cx, relx, rely, ax,
+                      wy, c1r, ks):
+    """x_window narrow-fetch body of :func:`parallax_sweeping_cv_rows`.
+
+    Operand packs only ``dn`` x-shifts per dy-group row, built over the
+    extended column range [0, w + d - dn) of the padded map so a dynamic
+    per-(pixel, group) column base ``bxo`` in [0, d - dn] can slide the
+    window onto the taps the epipolar direction actually touches. The
+    x-weights are recomputed per group against the shifted tap grid; a
+    group whose hypothesis mass lies outside its window loses that mass
+    (see the caller's docstring for the exactness condition).
+    """
+    if not 2 <= dn <= d:
+        raise ValueError(f"x_window must be in [2, {d}], got {dn}")
+    wext = w + d - dn
+    exp = checkpoint_name(jnp.concatenate(
+        [padded[:, dyl:dyl + ny, dx:dx + wext, :]
+         for dyl in range(G) for dx in range(dn)], axis=-1), "dscv_exp_y")
+    flat = checkpoint_name(exp.reshape(b, ny * wext, G * dn * ch),
+                           "dscv_exp_y")
+
+    jgrid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, dn), 3)
+    big = jnp.int32(2 ** 30)
+    cv = None
+    para_w = None
+    for g in range(groups):
+        # hypotheses whose wy mass can land in this dy-group
+        lo, hi = g * G - r - 1, g * G - r + G - 1
+        m = (rely >= lo) & (rely <= hi)                    # [b,n,s]
+        minr = jnp.where(m, relx, big).min(axis=-1)
+        bxo = jnp.clip(minr + r, 0, d - dn)                # [b,n]
+        idx_g = ((cy + g * G) * wext + cx + bxo).reshape(b, n, 1)
+        fetched = checkpoint_name(
+            jnp.take_along_axis(flat, idx_g, axis=1,
+                                mode="promise_in_bounds"), "dscv_fetched")
+        patch = checkpoint_name(fetched.reshape(b, n, G, dn, ch),
+                                "dscv_patch")
+        feat = checkpoint_name(
+            patch[..., :C].reshape(b, n, G, dn, num_cuts, cc), "dscv_feat")
+        corr_g = (c1r * feat).mean(axis=-1)                # [b,n,G,dx,cuts]
+        para_g = patch[..., C]                             # [b,n,G,dx]
+        # tap j of this window sits at x-offset (bxo - r + j): remap the
+        # bilinear x-weights onto the shifted grid
+        rel_j = relx - (bxo[..., None] - r)                # [b,n,s]
+        wx_g = ((jgrid == rel_j[..., None]) * (1.0 - ax[..., None])
+                + (jgrid == rel_j[..., None] + 1)
+                * ax[..., None]).astype(cv_dtype)          # [b,n,s,dn]
+        wy_g = wy[:, :, :, g * G:(g + 1) * G]              # [b,n,s,G]
+        tg = (corr_g[:, :, None] * wx_g[:, :, :, None, :, None]).sum(axis=4)
+        cv_g = (tg * wy_g[..., None]).sum(axis=3)          # [b,n,s,cuts]
+        pg = (para_g[:, :, None] * wx_g[:, :, ks][:, :, :, None]).sum(axis=-1)
+        pw_g = (pg * wy_g[:, :, ks]).sum(axis=-1)          # [b,n,K]
         cv = cv_g if cv is None else cv + cv_g
         para_w = pw_g if para_w is None else para_w + pw_g
 

@@ -370,6 +370,93 @@ class TestDSCV:
             np.array(pw_rest)[..., 0], np.array(pw_gather)[..., r],
             rtol=1e-4, atol=1e-4)
 
+    def test_rows_x_window_exact_on_steep_field(self):
+        """The direction-narrowed fetch box (x_window, the "octant" lever)
+        must be EXACT wherever the epipolar field is steep: pure-y
+        translation with identity rotation makes every pixel's sweep
+        direction vertical, so a G+4-wide window at a dynamic column base
+        covers every tap the full d-wide row fetches."""
+        rng = np.random.RandomState(33)
+        b, h, w, C = 2, 12, 14, 8
+        r = 4
+        cam = make_camera(b, f=(10.0, 11.0), c=(7.0, 6.0))
+        rot = jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (b, 1))
+        trans = jnp.asarray(
+            np.array([[0.0, 0.5, 0.0], [0.0, -0.3, 0.0]], np.float32))
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(
+            rng.uniform(0.5, 3, (b, h, w, 1)).astype(np.float32))
+        center = jnp.asarray(
+            rng.uniform(0.1, 8.0, (b, h, w, 1)).astype(np.float32))
+
+        for G, dn in ((2, 6), (2, 8), (1, 5)):
+            cv_full, pw_full = parallax_sweeping_cv_rows(
+                c1, c2, para_t, center, rot, trans, cam, r, num_cuts=2,
+                cv_dtype=jnp.float32, row_group=G)
+            cv_n, pw_n = parallax_sweeping_cv_rows(
+                c1, c2, para_t, center, rot, trans, cam, r, num_cuts=2,
+                cv_dtype=jnp.float32, row_group=G, x_window=dn)
+            np.testing.assert_allclose(np.array(cv_n), np.array(cv_full),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"G={G} dn={dn}")
+            np.testing.assert_allclose(np.array(pw_n), np.array(pw_full),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"G={G} dn={dn}")
+        # full-width window through the narrow code path is exact for ANY
+        # motion (it degenerates to the d-wide fetch with base 0)
+        rot2 = jnp.asarray(np.tile(
+            np.array([[1.0, 0.01, -0.02, 0.005]], np.float32) /
+            np.linalg.norm([1.0, 0.01, -0.02, 0.005]), (b, 1)))
+        trans2 = jnp.asarray(
+            np.array([[0.3, 0.1, 0.8], [-0.2, 0.4, 1.1]], np.float32))
+        cv_ref, pw_ref = parallax_sweeping_cv(
+            c1, c2, para_t, center, rot2, trans2, cam, r, num_cuts=2,
+            cv_dtype=jnp.float32)
+        cv_n, pw_n = parallax_sweeping_cv_rows(
+            c1, c2, para_t, center, rot2, trans2, cam, r, num_cuts=2,
+            cv_dtype=jnp.float32, row_group=2, x_window=2 * r + 2)
+        np.testing.assert_allclose(np.array(cv_n), np.array(cv_ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.array(pw_n), np.array(pw_ref), rtol=1e-4, atol=1e-4)
+
+    def test_rows_x_window_para_hyps_and_grads(self):
+        """x_window with the production para_hyps=(r,) restriction, and
+        gradient parity vs the full rows impl on a steep field."""
+        import jax
+
+        rng = np.random.RandomState(34)
+        b, h, w, C = 1, 10, 10, 4
+        r = 4
+        cam = make_camera(b, f=(8.0, 8.0), c=(5.0, 5.0))
+        rot = jnp.array([[1.0, 0, 0, 0]], jnp.float32)
+        trans = jnp.array([[0.0, 0.4, 0.0]], jnp.float32)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(
+            rng.uniform(0.5, 2, (b, h, w, 1)).astype(np.float32))
+        center = jnp.asarray(
+            rng.uniform(0.5, 3, (b, h, w, 1)).astype(np.float32))
+        gcv = jnp.asarray(rng.randn(b, h, w, 9).astype(np.float32))
+        gpw = jnp.asarray(rng.randn(b, h, w, 1).astype(np.float32))
+
+        def loss(dn, c1_, c2_, center_):
+            cv, pw = parallax_sweeping_cv_rows(
+                c1_, c2_, para_t, center_, rot, trans, cam, r, num_cuts=1,
+                cv_dtype=jnp.float32, row_group=2, para_hyps=(r,),
+                x_window=dn)
+            assert pw.shape[-1] == 1
+            return (cv * gcv).sum() + (pw * gpw).sum()
+
+        g_full = jax.grad(functools.partial(loss, 0),
+                          argnums=(0, 1, 2))(c1, c2, center)
+        g_n = jax.grad(functools.partial(loss, 6),
+                       argnums=(0, 1, 2))(c1, c2, center)
+        for a, b_ in zip(g_full, g_n):
+            np.testing.assert_allclose(np.array(b_), np.array(a),
+                                       rtol=1e-4, atol=1e-5)
+
     @pytest.mark.parametrize("impls", [("split", "gather")])
     def test_model_level_split_vs_gather_forward(self, impls):
         """Full-model forward equivalence between the production split DSCV

@@ -31,6 +31,13 @@ def main():
     p.add_argument("--chunk_bytes", type=int, default=30 << 20)
     p.add_argument("--row_group", type=int, default=2,
                    help="rows impl: y-shifts per fetched row (divides 2r+2)")
+    p.add_argument("--x_window", type=int, default=0,
+                   help="rows impl: direction-narrowed fetch box width "
+                        "(0=off; exact only for steep epipolar fields)")
+    p.add_argument("--trans", default="0.05,0.02,0.4",
+                   help="camera translation (affects the epipolar field "
+                        "the DSCV fetches along; e.g. 0,0.2,0.02 is a "
+                        "near-vertical field for x_window measurements)")
     p.add_argument("--size", type=int, default=384)
     p.add_argument("--height", type=int, default=0,
                    help="override --size for non-square geometries "
@@ -56,6 +63,7 @@ def main():
                       dscv_impl=a.dscv_impl, sncv_impl=a.sncv_impl,
                       dscv_chunk_bytes=a.chunk_bytes,
                       dscv_row_group=a.row_group,
+                      dscv_x_window=a.x_window,
                       dscv_para_direct=a.para_direct)
     model = M4Depth(cfg)
     b = a.batch
@@ -78,7 +86,8 @@ def main():
     rgb = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
     rot = jnp.tile(jnp.array([[1.0, 0.001, -0.002, 0.0005]], jnp.float32),
                    (b, 1))
-    trans = jnp.tile(jnp.array([[0.05, 0.02, 0.4]], jnp.float32), (b, 1))
+    tvec = [float(x) for x in a.trans.split(",")]
+    trans = jnp.tile(jnp.array([tvec], jnp.float32), (b, 1))
     f = jnp.full((b, 2), min(h, w) / 2.0)
     c = jnp.tile(jnp.array([[w / 2.0, h / 2.0]], jnp.float32), (b, 1))
     go = jnp.zeros((b,), bool)
