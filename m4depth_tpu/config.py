@@ -80,6 +80,14 @@ class ModelConfig:
                                       # directions silently lose weight
                                       # mass — measurement/ablation knob,
                                       # not a general-motion option
+                                      # (unless dscv_xw_dual is on)
+    dscv_xw_dual: bool = False        # with dscv_x_window: also build the
+                                      # transposed (x-group, y-window)
+                                      # operand and select per pixel by
+                                      # needed window span — exact for ALL
+                                      # motions at dn >= G+3 (the
+                                      # two-bucket octant fetch; see
+                                      # ops/cost_volume.py)
     sncv_impl: str = "xla"            # "xla": static-slice formulation;
                                       # "pallas": fused VMEM-resident kernel
     dscv_para_direct: bool = False    # keep the expanded map features-only

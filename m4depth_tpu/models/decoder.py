@@ -213,7 +213,8 @@ class DecoderLevel(nn.Module):
                 parallax_sweeping_cv_rows,
                 row_group=self.cfg.dscv_row_group,
                 para_hyps=para_hyps,
-                x_window=self.cfg.dscv_x_window),
+                x_window=self.cfg.dscv_x_window,
+                x_window_dual=self.cfg.dscv_xw_dual),
             "fused": functools.partial(
                 parallax_sweeping_cv_fused,
                 chunk_bytes=self.cfg.dscv_chunk_bytes),

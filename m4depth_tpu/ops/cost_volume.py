@@ -209,6 +209,7 @@ def parallax_sweeping_cv_rows(
     row_group: int = 1,
     para_hyps: Optional[Tuple[int, ...]] = None,
     x_window: int = 0,
+    x_window_dual: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Expanded-shift DSCV fetched as d/G rows per pixel — the cheap-build
     formulation.
@@ -244,6 +245,18 @@ def parallax_sweeping_cv_rows(
     need the full d (out-of-window taps silently lose their weight mass).
     Callers must gate on the motion/field or accept the approximation;
     the shipped default keeps x_window off.
+
+    ``x_window_dual`` removes the steep-field restriction: the narrow-fetch
+    algebra is symmetric in (x, y), so a second operand built from the
+    TRANSPOSED padded map (x-shift groups x dn-narrow y-windows) is
+    concatenated after the first, and each pixel selects its branch with a
+    plain index offset — every direction is steep in one of the two
+    frames, so the window fits everywhere and the result is exact for ALL
+    motions at dn >= G+3 (in-group floor positions span at most G+2
+    values at slope <= 1, plus the bilinear +1 tap; the branch choice is
+    by actual needed span, which also absorbs border clamping — see
+    :func:`_rows_narrow_dual_loop`). Build traffic is 2*G*dn*ch*n (= the
+    full rows operand at dn = d/2); fetched bytes still scale by dn/d.
     """
     b, h, w, C = c1.shape
     n = h * w
@@ -305,6 +318,11 @@ def parallax_sweeping_cv_rows(
     ks = list(para_hyps) if para_hyps is not None else list(range(s))
     wxp = wx[:, :, ks]
     c1r = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
+    if x_window and x_window_dual:
+        return _rows_narrow_dual_loop(
+            b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts, cv_dtype,
+            x_window, search_range, padded, cy, cx, relx, rely, ax, ay,
+            wx, wy, c1r, ks)
     if x_window:
         return _rows_narrow_loop(
             b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts, cv_dtype,
@@ -393,6 +411,114 @@ def _rows_narrow_loop(b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts,
         cv_g = (tg * wy_g[..., None]).sum(axis=3)          # [b,n,s,cuts]
         pg = (para_g[:, :, None] * wx_g[:, :, ks][:, :, :, None]).sum(axis=-1)
         pw_g = (pg * wy_g[:, :, ks]).sum(axis=-1)          # [b,n,K]
+        cv = cv_g if cv is None else cv + cv_g
+        para_w = pw_g if para_w is None else para_w + pw_g
+
+    cv = cv.transpose(0, 1, 3, 2).reshape(b, h, w, num_cuts * s)
+    para_w = para_w.reshape(b, h, w, -1)
+    return cv.astype(jnp.float32), para_w.astype(jnp.float32)
+
+
+def _rows_narrow_dual_loop(b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts,
+                           cv_dtype, dn, r, padded, cy, cx, relx, rely, ax,
+                           ay, wx, wy, c1r, ks):
+    """Dual-operand (exact-everywhere) x_window body of
+    :func:`parallax_sweeping_cv_rows`.
+
+    Two narrow operands are built and concatenated row-wise: the y-group
+    operand of :func:`_rows_narrow_loop` (G y-shifts x dn x-shifts per
+    row) and its transpose (G x-shifts x dn y-shifts per row, built from
+    the transposed padded map). Each pixel fetches all its d/G groups
+    from ONE of the two, chosen by epipolar steepness — the per-pixel
+    gather index is dynamic anyway, so the branch is a plain index offset
+    plus a jnp.where on the two (otherwise identical-shaped) weight
+    tensors; no lax.switch, no extra compile, no double fetch. Exact for
+    all motions at dn >= G+3 (see the caller's docstring). Replaces the
+    same reference kernel (cuda_backproject/backproject_op_gpu.cu.cc:
+    20-103) — this is the "direction-bucketed fetch box" design with two
+    buckets that provably cover every octant.
+    """
+    if not 2 <= dn <= d:
+        raise ValueError(f"x_window must be in [2, {d}], got {dn}")
+    wext = w + d - dn                  # y-operand: slideable column range
+    hext = h + d - dn                  # x-operand: slideable row range
+    ny = h + d - G
+    nx = w + d - G
+    exp_y = checkpoint_name(jnp.concatenate(
+        [padded[:, dyl:dyl + ny, dx:dx + wext, :]
+         for dyl in range(G) for dx in range(dn)], axis=-1), "dscv_exp_y")
+    padded_t = padded.transpose(0, 2, 1, 3)
+    exp_x = checkpoint_name(jnp.concatenate(
+        [padded_t[:, dxl:dxl + nx, dy:dy + hext, :]
+         for dxl in range(G) for dy in range(dn)], axis=-1), "dscv_exp_x")
+    flat = checkpoint_name(jnp.concatenate(
+        [exp_y.reshape(b, ny * wext, G * dn * ch),
+         exp_x.reshape(b, nx * hext, G * dn * ch)], axis=1), "dscv_exp_y")
+    t_off = ny * wext
+
+    jgrid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, dn), 3)
+    big = jnp.int32(2 ** 30)
+    # branch choice: the epipolar steepness |ux|<=|uy| is the interior
+    # criterion, but border clamping decouples the two coordinates (the
+    # clamped one saturates while the other keeps moving — a 45-degree
+    # line can need an 8-wide x-window in one y-group at the bottom edge
+    # while the transposed branch needs only 5). So choose per pixel by
+    # the ACTUAL worst-group window span each branch needs, computed from
+    # the weight-relevant (clipped to [-r, r+1]) tap offsets.
+    rxc = jnp.clip(relx, -r, r + 1)
+    ryc = jnp.clip(rely, -r, r + 1)
+    mins_y, maxs_y, mins_x, maxs_x = [], [], [], []
+    for g in range(groups):
+        lo, hi = g * G - r - 1, g * G - r + G - 1
+        m_y = (rely >= lo) & (rely <= hi)                  # [b,n,s]
+        m_x = (relx >= lo) & (relx <= hi)
+        mins_y.append(jnp.where(m_y, rxc, big).min(axis=-1))
+        maxs_y.append(jnp.where(m_y, rxc, -big).max(axis=-1))
+        mins_x.append(jnp.where(m_x, ryc, big).min(axis=-1))
+        maxs_x.append(jnp.where(m_x, ryc, -big).max(axis=-1))
+    span_y = functools.reduce(jnp.maximum,
+                              [jnp.maximum(mx - mn, 0)
+                               for mn, mx in zip(mins_y, maxs_y)])
+    span_x = functools.reduce(jnp.maximum,
+                              [jnp.maximum(mx - mn, 0)
+                               for mn, mx in zip(mins_x, maxs_x)])
+    steep = span_y <= span_x                               # [b,n]
+    steep_g = steep[..., None]                             # [b,n,1] / bcast
+
+    cv = None
+    para_w = None
+    for g in range(groups):
+        # steep branch: dy-group membership, x-window base
+        bxo = jnp.clip(mins_y[g] + r, 0, d - dn)           # [b,n]
+        idx_y = (cy + g * G) * wext + cx + bxo
+        # shallow branch: dx-group membership, y-window base
+        byo = jnp.clip(mins_x[g] + r, 0, d - dn)
+        idx_x = t_off + (cx + g * G) * hext + cy + byo
+        idx_g = jnp.where(steep, idx_y, idx_x).reshape(b, n, 1)
+        fetched = checkpoint_name(
+            jnp.take_along_axis(flat, idx_g, axis=1,
+                                mode="promise_in_bounds"), "dscv_fetched")
+        patch = fetched.reshape(b, n, G, dn, ch)
+        feat = checkpoint_name(
+            patch[..., :C].reshape(b, n, G, dn, num_cuts, cc), "dscv_feat")
+        corr_g = (c1r * feat).mean(axis=-1)                # [b,n,G,dn,cuts]
+        para_g = patch[..., C]                             # [b,n,G,dn]
+        # group-axis weights: wy columns (steep) vs wx columns (shallow)
+        wA = jnp.where(steep_g[..., None],
+                       wy[:, :, :, g * G:(g + 1) * G],
+                       wx[:, :, :, g * G:(g + 1) * G])     # [b,n,s,G]
+        # window-axis weights: remapped onto the slid tap grid per branch
+        rel_jy = relx - (bxo[..., None] - r)               # [b,n,s]
+        rel_jx = rely - (byo[..., None] - r)
+        rel_j = jnp.where(steep_g, rel_jy, rel_jx)
+        aB = jnp.where(steep_g, ax, ay)
+        wB = ((jgrid == rel_j[..., None]) * (1.0 - aB[..., None])
+              + (jgrid == rel_j[..., None] + 1)
+              * aB[..., None]).astype(cv_dtype)            # [b,n,s,dn]
+        tg = (corr_g[:, :, None] * wB[:, :, :, None, :, None]).sum(axis=4)
+        cv_g = (tg * wA[..., None]).sum(axis=3)            # [b,n,s,cuts]
+        pg = (para_g[:, :, None] * wB[:, :, ks][:, :, :, None]).sum(axis=-1)
+        pw_g = (pg * wA[:, :, ks]).sum(axis=-1)            # [b,n,K]
         cv = cv_g if cv is None else cv + cv_g
         para_w = pw_g if para_w is None else para_w + pw_g
 

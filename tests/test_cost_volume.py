@@ -457,6 +457,98 @@ class TestDSCV:
             np.testing.assert_allclose(np.array(b_), np.array(a),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_rows_xw_dual_exact_any_motion(self):
+        """The dual-operand narrow fetch (x_window + x_window_dual, the
+        two-bucket octant design) must be exact for EVERY motion at
+        dn >= G+3 — including 45-degree epipolar fields and pixels whose
+        taps clamp at the image border (the case that breaks a naive
+        |ux|<=|uy| branch choice: clamping saturates one coordinate while
+        the other keeps moving, so the branch is chosen by actual needed
+        window span instead)."""
+        rng = np.random.RandomState(44)
+        b, h, w, C = 2, 14, 16, 8
+        r = 4
+        cam = make_camera(b, f=(7.0, 7.5), c=(8.0, 7.0))
+        motions = [
+            # pure forward: radial field spanning all octants
+            (np.array([1.0, 0, 0, 0]), np.array([[0.0, 0.0, 0.9],
+                                                 [0.0, 0.0, 1.3]])),
+            # exact 45-degree translation (the branch boundary)
+            (np.array([1.0, 0, 0, 0]), np.array([[0.5, 0.5, 0.0],
+                                                 [-0.4, 0.4, 0.1]])),
+            # shallow lateral
+            (np.array([1.0, 0, 0, 0]), np.array([[0.7, 0.05, 0.0],
+                                                 [-0.5, 0.0, 0.2]])),
+            # rotation + mixed translation
+            (np.array([0.999, 0.02, -0.03, 0.01]),
+             np.array([[0.2, 0.3, 0.8], [0.3, -0.2, 0.6]])),
+        ]
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(
+            rng.uniform(0.5, 3, (b, h, w, 1)).astype(np.float32))
+        # large sweep centers push taps off the border (the clamp case)
+        center = jnp.asarray(
+            rng.uniform(0.05, 8.0, (b, h, w, 1)).astype(np.float32))
+        for rotn, transn in motions:
+            rot = jnp.asarray(np.tile(
+                (rotn / np.linalg.norm(rotn)).astype(np.float32), (b, 1)))
+            trans = jnp.asarray(transn.astype(np.float32))
+            for G, dn in ((2, 5), (2, 6), (1, 4)):
+                cv_f, pw_f = parallax_sweeping_cv_rows(
+                    c1, c2, para_t, center, rot, trans, cam, r, num_cuts=2,
+                    cv_dtype=jnp.float32, row_group=G)
+                cv_d, pw_d = parallax_sweeping_cv_rows(
+                    c1, c2, para_t, center, rot, trans, cam, r, num_cuts=2,
+                    cv_dtype=jnp.float32, row_group=G, x_window=dn,
+                    x_window_dual=True)
+                np.testing.assert_allclose(
+                    np.array(cv_d), np.array(cv_f), rtol=1e-5, atol=1e-5,
+                    err_msg=f"G={G} dn={dn} trans={transn[0]}")
+                np.testing.assert_allclose(
+                    np.array(pw_d), np.array(pw_f), rtol=1e-5, atol=1e-5,
+                    err_msg=f"G={G} dn={dn} trans={transn[0]}")
+
+    def test_rows_xw_dual_grads_and_para_hyps(self):
+        """Gradient parity of the dual narrow fetch vs the full rows impl
+        on a general (forward + rotation) motion — the production training
+        path if the dual window becomes the default — plus the para_hyps
+        restriction."""
+        import jax
+
+        rng = np.random.RandomState(45)
+        b, h, w, C = 1, 12, 12, 4
+        r = 4
+        cam = make_camera(b, f=(6.0, 6.0), c=(6.0, 6.0))
+        rotn = np.array([0.999, 0.015, -0.02, 0.008])
+        rot = jnp.asarray(np.tile(
+            (rotn / np.linalg.norm(rotn)).astype(np.float32), (b, 1)))
+        trans = jnp.array([[0.25, 0.35, 0.7]], jnp.float32)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(
+            rng.uniform(0.5, 2, (b, h, w, 1)).astype(np.float32))
+        center = jnp.asarray(
+            rng.uniform(0.5, 3, (b, h, w, 1)).astype(np.float32))
+        gcv = jnp.asarray(rng.randn(b, h, w, 9).astype(np.float32))
+        gpw = jnp.asarray(rng.randn(b, h, w, 1).astype(np.float32))
+
+        def loss(dual, c1_, c2_, center_):
+            cv, pw = parallax_sweeping_cv_rows(
+                c1_, c2_, para_t, center_, rot, trans, cam, r, num_cuts=1,
+                cv_dtype=jnp.float32, row_group=2, para_hyps=(r,),
+                x_window=5 if dual else 0, x_window_dual=dual)
+            assert pw.shape[-1] == 1
+            return (cv * gcv).sum() + (pw * gpw).sum()
+
+        g_full = jax.grad(functools.partial(loss, False),
+                          argnums=(0, 1, 2))(c1, c2, center)
+        g_dual = jax.grad(functools.partial(loss, True),
+                          argnums=(0, 1, 2))(c1, c2, center)
+        for a, b_ in zip(g_full, g_dual):
+            np.testing.assert_allclose(np.array(b_), np.array(a),
+                                       rtol=1e-4, atol=1e-5)
+
     @pytest.mark.parametrize("impls", [("split", "gather")])
     def test_model_level_split_vs_gather_forward(self, impls):
         """Full-model forward equivalence between the production split DSCV
@@ -496,6 +588,48 @@ class TestDSCV:
             outs[impl] = np.array(pyrs[-1][0].depth)
         np.testing.assert_allclose(outs["split"], outs["gather"],
                                    rtol=2e-3, atol=2e-3)
+
+    def test_model_level_rows_dual_window_matches_full(self):
+        """Full-model forward equivalence of the dual narrow window
+        (dscv_x_window=5, dscv_xw_dual) vs the full-width rows impl, in
+        f32 so the comparison is exact-math, on a mixed motion whose
+        epipolar field crosses the 45-degree branch boundary."""
+        import jax as _jax
+
+        from m4depth_tpu.config import ModelConfig
+        from m4depth_tpu.models import M4Depth
+        from m4depth_tpu.train import batch_camera
+
+        rng = np.random.RandomState(6)
+        b, T, h, w = 1, 3, 16, 16
+        batch = {
+            "rgb": rng.rand(b, T, h, w, 3).astype(np.float32),
+            "rot": np.tile(np.array([1.0, 0, 0, 0], np.float32), (b, T, 1)),
+            "trans": np.tile(np.array([0.04, 0.04, 0.3], np.float32),
+                             (b, T, 1)),
+            "camera_f": np.full((b, 2), 8.0, np.float32),
+            "camera_c": np.full((b, 2), 8.0, np.float32),
+        }
+        outs = {}
+        params = None
+        for dual in (True, False):
+            cfg = ModelConfig(num_levels=2, encoder_channels=(8, 12),
+                              refiner_prep_channels=(16, 16, 8),
+                              refiner_est_channels=(8, 8, 5),
+                              compute_dtype="float32", cv_dtype="float32",
+                              dscv_impl="rows",
+                              dscv_x_window=5 if dual else 0,
+                              dscv_xw_dual=dual)
+            model = M4Depth(cfg)
+            if params is None:
+                params = _jax.jit(model.init)(
+                    _jax.random.PRNGKey(0), batch["rgb"], batch["rot"],
+                    batch["trans"], batch_camera(batch))
+            pyrs = model.apply(params, batch["rgb"], batch["rot"],
+                               batch["trans"], batch_camera(batch))
+            outs[dual] = np.array(pyrs[-1][0].depth)
+        np.testing.assert_allclose(outs[True], outs[False],
+                                   rtol=1e-5, atol=1e-6)
 
     def test_warped_prev_parallax_center_channel(self):
         """Channel r of the warped temporal parallax equals a warp of

@@ -33,7 +33,11 @@ def main():
                    help="rows impl: y-shifts per fetched row (divides 2r+2)")
     p.add_argument("--x_window", type=int, default=0,
                    help="rows impl: direction-narrowed fetch box width "
-                        "(0=off; exact only for steep epipolar fields)")
+                        "(0=off; exact only for steep epipolar fields "
+                        "unless --xw_dual)")
+    p.add_argument("--xw_dual", action="store_true",
+                   help="rows impl: dual-operand narrow fetch (exact for "
+                        "all motions at x_window >= row_group+3)")
     p.add_argument("--trans", default="0.05,0.02,0.4",
                    help="camera translation (affects the epipolar field "
                         "the DSCV fetches along; e.g. 0,0.2,0.02 is a "
@@ -64,6 +68,7 @@ def main():
                       dscv_chunk_bytes=a.chunk_bytes,
                       dscv_row_group=a.row_group,
                       dscv_x_window=a.x_window,
+                      dscv_xw_dual=a.xw_dual,
                       dscv_para_direct=a.para_direct)
     model = M4Depth(cfg)
     b = a.batch
