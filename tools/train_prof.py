@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--dscv_impl", default="rows")
     ap.add_argument("--row_group", type=int, default=2,
                     help="rows impl: y-shifts per fetched row (divides 2r+2)")
+    ap.add_argument("--x_window", type=int, default=0,
+                    help="rows impl: direction-narrowed fetch box width")
+    ap.add_argument("--xw_dual", action="store_true",
+                    help="rows impl: dual-operand narrow fetch (exact for "
+                         "all motions at x_window >= row_group+3)")
     ap.add_argument("--no_profile", action="store_true")
     ap.add_argument("--para_direct", action="store_true")
     ap.add_argument("--scan_unroll", type=int, default=2)
@@ -108,6 +113,8 @@ def main():
                       dscv_para_direct=args.para_direct,
                       scan_unroll=args.scan_unroll,
                       dscv_row_group=args.row_group,
+                      dscv_x_window=args.x_window,
+                      dscv_xw_dual=args.xw_dual,
                       dscv_bwd=args.dscv_bwd)
     model = M4Depth(cfg)
     b, T, hw = args.batch, args.seq, args.size
