@@ -101,7 +101,12 @@ class SubprocessValidator:
                         JAX_PLATFORMS=getattr(cmd, "validation_device", "cpu"))
         self.args = [
             sys.executable, "-m", "m4depth_tpu.cli.main",
-            "--mode=validation", "--dataset=kitti-raw",
+            "--mode=validation",
+            # in-process override as well: JAX_PLATFORMS is ignored on the
+            # axon rig (the plugin wins backend init), and a child landing
+            # on the trainer's TPU would fight it for the chip
+            f"--platform={getattr(cmd, 'validation_device', 'cpu')}",
+            "--dataset=kitti-raw",
             f"--db_path_config={cmd.db_path_config}",
             f"--ckpt_dir={cmd.ckpt_dir}",
             "--records_path=" + os.path.join(
@@ -249,6 +254,12 @@ def main(argv=None):
 
     build_parser(parser)
     cmd, _ = parser.parse_known_args(argv)
+    if getattr(cmd, "platform", "") :
+        # must happen before any device call; the JAX_PLATFORMS env var is
+        # NOT honored on this rig (the axon plugin wins at backend init), so
+        # CPU children — e.g. the per-epoch validation subprocess running
+        # next to a TPU trainer — need the in-process override
+        jax.config.update("jax_platforms", cmd.platform)
     db_paths = dataset_locations(cmd)
 
     if cmd.mode == "convert":

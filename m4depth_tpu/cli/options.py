@@ -26,6 +26,12 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--dataset", default="",
                    choices=["midair", "tartanair", "kitti-raw"],
                    help="Dataset to use")
+    g.add_argument("--platform", default="",
+                   choices=["", "cpu", "tpu"],
+                   help="Force the JAX platform before backend init "
+                        "(JAX_PLATFORMS is not honored on this rig; CPU "
+                        "validation children next to a TPU trainer need "
+                        "--platform=cpu)")
     g.add_argument("--ckpt_dir", default="ckpt",
                    help="Model checkpoint directory")
     g.add_argument("--mode",
@@ -108,6 +114,18 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     g.add_argument("--dscv_row_group", type=int, default=2,
                    help="rows impl: y-shifts packed per fetched row (must "
                         "divide 2*search_range+2; measured optimum 2)")
+    g.add_argument("--dscv_x_window", type=int, default=5,
+                   help="rows impl: direction-narrowed fetch box width "
+                        "(octant lever; 0 = full-width fetch). Exact for "
+                        "all motions with --dscv_xw_dual at >= "
+                        "row_group+3; ignored when >= 2*search_range+2")
+    g.add_argument("--dscv_xw_dual", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="rows impl: dual-operand narrow fetch — also build "
+                        "the transposed operand and select per pixel, "
+                        "making --dscv_x_window exact for ALL motions "
+                        "(default on; measured 209-214 fps / 176 ms train "
+                        "step vs 203/221 full-width)")
     g.add_argument("--dscv_chunk_bytes", type=int, default=30 << 20,
                    help="split impl: target bytes per gather chunk "
                         "(per-geometry table in DEVELOPMENT.md)")
@@ -192,6 +210,8 @@ def model_config_from_args(cmd, depth_type: str = "map") -> ModelConfig:
         cv_dtype=getattr(cmd, "cv_dtype", "bfloat16"),
         dscv_impl=getattr(cmd, "dscv_impl", "rows"),
         dscv_row_group=getattr(cmd, "dscv_row_group", 2),
+        dscv_x_window=getattr(cmd, "dscv_x_window", 5),
+        dscv_xw_dual=getattr(cmd, "dscv_xw_dual", True),
         dscv_chunk_bytes=getattr(cmd, "dscv_chunk_bytes", 30 << 20),
         dscv_bwd=getattr(cmd, "dscv_bwd", "xla"),
         sncv_impl=getattr(cmd, "sncv_impl", "xla"),

@@ -69,25 +69,31 @@ class ModelConfig:
                                       # fetched row (must divide 2r+2);
                                       # trades build/operand bytes (G*d*ch*n)
                                       # against gather row count ((d/G)*n)
-    dscv_x_window: int = 0            # "rows" impl: direction-narrowed
+    dscv_x_window: int = 5            # "rows" impl: direction-narrowed
                                       # fetch box ("octant" lever) — fetch
                                       # only this many of the d x-shifts
                                       # per dy-group at a per-(pixel,group)
-                                      # dynamic column base. 0 = off
-                                      # (exact). EXACT only for steep
-                                      # epipolar fields (needs dn >= G+4 at
+                                      # dynamic column base. 0 = off.
+                                      # Ignored when >= d (full fetch).
+                                      # ALONE (dscv_xw_dual=False) it is
+                                      # exact only for steep epipolar
+                                      # fields (needs dn >= G+3 at
                                       # |unit_x| <= |unit_y|); shallow
                                       # directions silently lose weight
-                                      # mass — measurement/ablation knob,
-                                      # not a general-motion option
-                                      # (unless dscv_xw_dual is on)
-    dscv_xw_dual: bool = False        # with dscv_x_window: also build the
+                                      # mass. With the shipped
+                                      # dscv_xw_dual=True it is exact for
+                                      # ALL motions at dn >= G+3 = 5.
+    dscv_xw_dual: bool = True         # with dscv_x_window: also build the
                                       # transposed (x-group, y-window)
                                       # operand and select per pixel by
                                       # needed window span — exact for ALL
                                       # motions at dn >= G+3 (the
                                       # two-bucket octant fetch; see
-                                      # ops/cost_volume.py)
+                                      # ops/cost_volume.py). Default ON
+                                      # since round 4: measured 209-214 fps
+                                      # stream / 176 ms train step vs the
+                                      # full-width rows' 203/221 (same-
+                                      # session interleaved A/B)
     sncv_impl: str = "xla"            # "xla": static-slice formulation;
                                       # "pallas": fused VMEM-resident kernel
     dscv_para_direct: bool = False    # keep the expanded map features-only

@@ -318,6 +318,11 @@ def parallax_sweeping_cv_rows(
     ks = list(para_hyps) if para_hyps is not None else list(range(s))
     wxp = wx[:, :, ks]
     c1r = c1.astype(cv_dtype).reshape(b, n, 1, 1, num_cuts, cc)
+    if x_window >= d:
+        # narrowing to >= the full tap width fetches everything anyway;
+        # take the plain full-width path (keeps the shipped x_window=5
+        # default valid for any search_range, e.g. d = 2*1+2 = 4)
+        x_window = 0
     if x_window and x_window_dual:
         return _rows_narrow_dual_loop(
             b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts, cv_dtype,

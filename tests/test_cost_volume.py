@@ -509,6 +509,34 @@ class TestDSCV:
                     np.array(pw_d), np.array(pw_f), rtol=1e-5, atol=1e-5,
                     err_msg=f"G={G} dn={dn} trans={transn[0]}")
 
+    def test_rows_x_window_geq_d_falls_back_to_full(self):
+        """The shipped default dscv_x_window=5 must stay valid for ANY
+        search_range: when the window is >= d = 2r+2 the narrowing fetches
+        everything anyway, so the op must take the plain full-width path
+        (bit-equal output) instead of raising."""
+        rng = np.random.RandomState(46)
+        b, h, w, C = 1, 12, 12, 4
+        r = 1  # d = 4 < the default window of 5
+        cam = make_camera(b, f=(6.0, 6.0), c=(6.0, 6.0))
+        rot = jnp.asarray(np.tile(
+            np.array([1.0, 0.001, 0.002, 0.0], np.float32), (b, 1)))
+        trans = jnp.array([[0.02, 0.01, 0.1]], jnp.float32)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(
+            rng.uniform(0.5, 2, (b, h, w, 1)).astype(np.float32))
+        center = jnp.ones((b, h, w, 1), jnp.float32)
+        full = parallax_sweeping_cv_rows(
+            c1, c2, para_t, center, rot, trans, cam, r, num_cuts=1,
+            cv_dtype=jnp.float32, row_group=2)
+        for dual in (False, True):
+            guarded = parallax_sweeping_cv_rows(
+                c1, c2, para_t, center, rot, trans, cam, r, num_cuts=1,
+                cv_dtype=jnp.float32, row_group=2, x_window=5,
+                x_window_dual=dual)
+            for a, b_ in zip(full, guarded):
+                np.testing.assert_array_equal(np.array(a), np.array(b_))
+
     def test_rows_xw_dual_grads_and_para_hyps(self):
         """Gradient parity of the dual narrow fetch vs the full rows impl
         on a general (forward + rotation) motion — the production training

@@ -31,13 +31,16 @@ def main():
     p.add_argument("--chunk_bytes", type=int, default=30 << 20)
     p.add_argument("--row_group", type=int, default=2,
                    help="rows impl: y-shifts per fetched row (divides 2r+2)")
-    p.add_argument("--x_window", type=int, default=0,
+    p.add_argument("--x_window", type=int, default=5,
                    help="rows impl: direction-narrowed fetch box width "
                         "(0=off; exact only for steep epipolar fields "
-                        "unless --xw_dual)")
-    p.add_argument("--xw_dual", action="store_true",
+                        "unless --xw_dual). Default 5 = shipped config")
+    p.add_argument("--xw_dual", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="rows impl: dual-operand narrow fetch (exact for "
-                        "all motions at x_window >= row_group+3)")
+                        "all motions at x_window >= row_group+3). Default "
+                        "on = shipped config; --no-xw_dual for the "
+                        "single-operand steep-field variant")
     p.add_argument("--trans", default="0.05,0.02,0.4",
                    help="camera translation (affects the epipolar field "
                         "the DSCV fetches along; e.g. 0,0.2,0.02 is a "

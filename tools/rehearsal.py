@@ -147,7 +147,7 @@ def main():
             cmd=None,
             args=[
                 sys.executable, "-m", "m4depth_tpu.cli.main",
-                "--mode=validation", "--dataset=midair",
+                "--mode=validation", "--platform=cpu", "--dataset=midair",
                 f"--db_path_config={val_cfg_path}",
                 "--records_path=" + os.path.join(
                     os.path.dirname(val_cfg_path), "records"),

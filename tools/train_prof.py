@@ -84,11 +84,14 @@ def main():
     ap.add_argument("--dscv_impl", default="rows")
     ap.add_argument("--row_group", type=int, default=2,
                     help="rows impl: y-shifts per fetched row (divides 2r+2)")
-    ap.add_argument("--x_window", type=int, default=0,
-                    help="rows impl: direction-narrowed fetch box width")
-    ap.add_argument("--xw_dual", action="store_true",
+    ap.add_argument("--x_window", type=int, default=5,
+                    help="rows impl: direction-narrowed fetch box width "
+                         "(default 5 = shipped config)")
+    ap.add_argument("--xw_dual", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="rows impl: dual-operand narrow fetch (exact for "
-                         "all motions at x_window >= row_group+3)")
+                         "all motions at x_window >= row_group+3). Default "
+                         "on = shipped config")
     ap.add_argument("--no_profile", action="store_true")
     ap.add_argument("--para_direct", action="store_true")
     ap.add_argument("--scan_unroll", type=int, default=2)
