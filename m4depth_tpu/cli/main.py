@@ -123,6 +123,11 @@ class SubprocessValidator:
             f"--compute_dtype={cmd.compute_dtype}",
             f"--cv_dtype={getattr(cmd, 'cv_dtype', 'bfloat16')}",
             f"--dscv_impl={getattr(cmd, 'dscv_impl', 'split')}",
+            f"--dscv_row_group={getattr(cmd, 'dscv_row_group', 2)}",
+            f"--dscv_x_window={getattr(cmd, 'dscv_x_window', 5)}",
+            ("--dscv_xw_dual" if getattr(cmd, 'dscv_xw_dual', True)
+             else "--no-dscv_xw_dual"),
+            f"--dscv_chunk_bytes={getattr(cmd, 'dscv_chunk_bytes', 30 << 20)}",
             f"--sncv_impl={getattr(cmd, 'sncv_impl', 'xla')}",
         ] + [f"--{flag}" for flag in (
             "no_DINL", "no_SNCV", "no_time_recurr",

@@ -182,7 +182,11 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "background process (the reference's scheme, "
                         "callbacks.py:142-170)")
     g.add_argument("--validation_device", default="cpu",
-                   help="JAX_PLATFORMS for the validation subprocess")
+                   choices=["cpu", "tpu"],
+                   help="Platform for the validation subprocess (forwarded "
+                        "as its --platform; must be a value --platform "
+                        "accepts or the child dies at argparse and per-"
+                        "epoch validation is silently lost)")
     g.add_argument("--validation_max_batches", default=0, type=int,
                    help="Bound the validation subset size (0 = full set); "
                         "keeps a CPU-pinned validation child within an "

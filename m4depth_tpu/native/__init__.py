@@ -26,11 +26,16 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not os.path.isfile(_LIB_PATH):
-        try:
-            subprocess.run(["make", "-C", _DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # always run make (the Makefile's backproject.cc dependency makes it a
+    # ~30 ms no-op when fresh) — only rebuilding when the .so was ABSENT
+    # silently tested edits to backproject.cc against a stale binary. A
+    # failed make (no toolchain) still falls through to loading a prebuilt
+    # .so if one is present.
+    try:
+        subprocess.run(["make", "-C", _DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.isfile(_LIB_PATH):
             _build_failed = True
             return None
     try:

@@ -323,6 +323,15 @@ def parallax_sweeping_cv_rows(
         # take the plain full-width path (keeps the shipped x_window=5
         # default valid for any search_range, e.g. d = 2*1+2 = 4)
         x_window = 0
+    if x_window and x_window_dual and x_window < G + 3:
+        # below the exactness bound the dual selector has no branch whose
+        # window fits the per-group tap spread (docstring above): a valid
+        # non-default row_group (e.g. 5 with d=10) would silently yield an
+        # inexact cost volume (~0.02 max abs err measured) — refuse instead
+        raise ValueError(
+            f"dscv_x_window={x_window} with dscv_xw_dual needs x_window >= "
+            f"row_group+3 (= {G + 3}) to be exact; widen the window, lower "
+            f"dscv_row_group, or set dscv_x_window=0 (full width)")
     if x_window and x_window_dual:
         return _rows_narrow_dual_loop(
             b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts, cv_dtype,

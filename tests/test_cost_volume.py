@@ -537,6 +537,34 @@ class TestDSCV:
             for a, b_ in zip(full, guarded):
                 np.testing.assert_array_equal(np.array(a), np.array(b_))
 
+    def test_rows_xw_dual_below_exactness_bound_raises(self):
+        """With the now-default narrow window, a valid non-default row_group
+        that violates x_window >= row_group+3 (e.g. G=5 with d=10) must be
+        refused, not silently yield an inexact cost volume (advisor r4)."""
+        rng = np.random.RandomState(47)
+        b, h, w, C = 1, 16, 16, 4
+        r = 4  # d = 10; G = 5 divides it but 5 < G+3 = 8
+        cam = make_camera(b, f=(8.0, 8.0), c=(8.0, 8.0))
+        rot = jnp.asarray(np.tile(
+            np.array([1.0, 0.0, 0.0, 0.0], np.float32), (b, 1)))
+        trans = jnp.array([[0.02, 0.01, 0.1]], jnp.float32)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(
+            rng.uniform(0.5, 2, (b, h, w, 1)).astype(np.float32))
+        center = jnp.ones((b, h, w, 1), jnp.float32)
+        with pytest.raises(ValueError, match="row_group"):
+            parallax_sweeping_cv_rows(
+                c1, c2, para_t, center, rot, trans, cam, r, num_cuts=1,
+                cv_dtype=jnp.float32, row_group=5, x_window=5,
+                x_window_dual=True)
+        # at the bound it must run (exact; exactness itself is covered by
+        # test_rows_xw_dual_exact_any_motion)
+        parallax_sweeping_cv_rows(
+            c1, c2, para_t, center, rot, trans, cam, r, num_cuts=1,
+            cv_dtype=jnp.float32, row_group=2, x_window=5,
+            x_window_dual=True)
+
     def test_rows_xw_dual_grads_and_para_hyps(self):
         """Gradient parity of the dual narrow fetch vs the full rows impl
         on a general (forward + rotation) motion — the production training

@@ -113,6 +113,7 @@ def test_child_command_forwards_model_config():
         "--mode=train", "--dataset=midair", "--model=m4depth-v1",
         "--no_SNCV", "--no_DINL", "--compute_dtype=float32",
         "--dscv_impl=expanded", "--arch_depth=4",
+        "--dscv_row_group=5", "--dscv_x_window=8", "--no-dscv_xw_dual",
     ])
     v = SubprocessValidator(cmd)
     args = v.args
@@ -122,4 +123,10 @@ def test_child_command_forwards_model_config():
     assert "--compute_dtype=float32" in args
     assert "--dscv_impl=expanded" in args
     assert "--arch_depth=4" in args
+    # the DSCV tuning knobs change the op the child evaluates with — a
+    # child silently running shipped defaults would score a different op
+    # configuration than training (advisor r4)
+    assert "--dscv_row_group=5" in args
+    assert "--dscv_x_window=8" in args
+    assert "--no-dscv_xw_dual" in args and "--dscv_xw_dual" not in args
     assert v._log_path.endswith("validation-subprocess.log")
