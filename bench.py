@@ -70,14 +70,23 @@ def _arm_watchdog():
 
 
 def main():
+    import os
+
+    # M4DEPTH_BENCH_SMOKE=1: tiny shapes on the host CPU so the timed-block +
+    # JSON contract can be exercised end-to-end without a TPU (the number it
+    # prints is meaningless; the driver always runs the default path)
+    smoke = os.environ.get("M4DEPTH_BENCH_SMOKE") == "1"
+    if smoke:
+        jax.config.update("jax_platforms", "cpu")
+
     watchdog = _arm_watchdog()
     from m4depth_tpu.config import ModelConfig
     from m4depth_tpu.geometry import Camera
     from m4depth_tpu.models import M4Depth, init_state
 
-    cfg = ModelConfig(num_levels=6, compute_dtype="bfloat16")
+    cfg = ModelConfig(num_levels=3 if smoke else 6, compute_dtype="bfloat16")
     model = M4Depth(cfg)
-    b, h, w = 1, 384, 384
+    b, h, w = (1, 64, 64) if smoke else (1, 384, 384)
 
     rng = np.random.RandomState(0)
     params = jax.jit(model.init)(
@@ -109,23 +118,29 @@ def main():
         state, depth = step(params, state, rgb, rot, trans, f, c, go)
     np.asarray(depth)
 
-    n = 200
-    best = float("inf")
-    for _ in range(3):
+    # median-of-5 timed blocks with the spread reported: best-of-N hid a
+    # ±5 fps session effect that made A/B claims impossible to reconcile
+    # against driver captures (VERDICT r4 weak #2)
+    n = 5 if smoke else 200
+    block_fps = []
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(n):
             state, depth = step(params, state, rgb, rot, trans, f, c, go)
         val = np.asarray(depth)
-        best = min(best, time.perf_counter() - t0)
+        block_fps.append(n * b / (time.perf_counter() - t0))
     assert np.all(np.isfinite(val)), "non-finite depth out of the bench model"
 
-    fps = n * b / best
+    fps = float(np.median(block_fps))
     watchdog.cancel()
     print(json.dumps({
         "metric": "stream_fps_384",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "spread_min": round(min(block_fps), 2),
+        "spread_max": round(max(block_fps), 2),
+        "blocks": [round(x, 2) for x in block_fps],
     }))
 
 

@@ -79,6 +79,15 @@ class FreshFrameStream:
     asynchronous device array — materialize it with ``np.asarray`` only when
     needed. Call ``flush()`` after the last frame to drain the pipeline.
 
+    Throughput expectation: on a normally host-attached TPU the steady state
+    is max(step, transfer) — with the measured 3.0 ms frame DMA under the
+    ~4.9 ms step, ~the device-resident streaming rate. That figure is a
+    PROJECTION from those two measured components, not an end-to-end
+    measurement: the only rig available here tunnels the TPU and drains the
+    dispatch pipeline on every h2d transfer, so overlap cannot be
+    demonstrated (10-22 fps transport-bound, DEVELOPMENT.md "Fresh-frame
+    serving through the tunnel").
+
     Works on one chip or over a mesh: pass ``sharding`` (e.g.
     ``batch_sharding(mesh)``) to place multi-stream inputs; omit it for
     single-device placement.
