@@ -104,13 +104,15 @@ def build_parser(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="Cost-volume correlation dtype (the reference "
                         "hardcoded fp16, depth_operations.py:276-278)")
     g.add_argument("--dscv_impl", default="rows",
-                   choices=["split", "rows", "fused", "flat", "expanded",
-                            "gather"],
+                   choices=["split", "rows", "rows_fused", "fused", "flat",
+                            "expanded", "gather"],
                    help="DSCV formulation: dy-row fetches off a slim "
-                        "operand (rows, TPU-fast default), chunked expanded "
-                        "static shifts (split), Pallas fused reduce (forward-"
-                        "only serving path), single-fetch expanded variants, "
-                        "or direct per-hypothesis warp")
+                        "operand (rows, TPU-fast default), the same with a "
+                        "Pallas fused post-gather reduce (rows_fused, "
+                        "forward-only), chunked expanded static shifts "
+                        "(split), split + Pallas fused reduce (fused, "
+                        "forward-only serving path), single-fetch expanded "
+                        "variants, or direct per-hypothesis warp")
     g.add_argument("--dscv_row_group", type=int, default=2,
                    help="rows impl: y-shifts packed per fetched row (must "
                         "divide 2*search_range+2; measured optimum 2)")

@@ -58,6 +58,11 @@ class ModelConfig:
                                       # vs split's 196/246, round 4);
                                       # "split": chunked expanded-shift DSCV
                                       # (round-2/3 default);
+                                      # "rows_fused": rows build/gather +
+                                      # Pallas fused post-gather reduce on
+                                      # the narrow operand (forward-only;
+                                      # round-5 re-attack of the fused
+                                      # reduce, VERDICT r4 #3);
                                       # "fused": split build/gather + Pallas
                                       # fused reduce (forward-only — the
                                       # serving/eval fast path);

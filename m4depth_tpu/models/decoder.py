@@ -38,6 +38,7 @@ from m4depth_tpu.ops.cost_volume import (
     parallax_sweeping_cv_flat,
     parallax_sweeping_cv_fused,
     parallax_sweeping_cv_rows,
+    parallax_sweeping_cv_rows_fused,
     parallax_sweeping_cv_split,
     spatial_cost_volume,
 )
@@ -199,7 +200,8 @@ class DecoderLevel(nn.Module):
         # (parity: m4depth_network.py:238-241); "split" supports skipping the
         # weight contraction for the rest, the other impls return all 2r+1
         para_hyps = ((center,)
-                     if self.cfg.dscv_impl in ("split", "fused", "rows")
+                     if self.cfg.dscv_impl in ("split", "fused", "rows",
+                                               "rows_fused")
                      else tuple(range(2 * center + 1)))
         dscv = {
             "split": functools.partial(
@@ -218,6 +220,11 @@ class DecoderLevel(nn.Module):
             "fused": functools.partial(
                 parallax_sweeping_cv_fused,
                 chunk_bytes=self.cfg.dscv_chunk_bytes),
+            "rows_fused": functools.partial(
+                parallax_sweeping_cv_rows_fused,
+                row_group=self.cfg.dscv_row_group,
+                x_window=self.cfg.dscv_x_window,
+                x_window_dual=self.cfg.dscv_xw_dual),
             "flat": parallax_sweeping_cv_flat,
             "expanded": parallax_sweeping_cv_expanded,
             "gather": parallax_sweeping_cv,

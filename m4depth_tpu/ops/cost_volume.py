@@ -541,6 +541,240 @@ def _rows_narrow_dual_loop(b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts,
     return cv.astype(jnp.float32), para_w.astype(jnp.float32)
 
 
+def parallax_sweeping_cv_rows_fused(
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    para_prev_t: jnp.ndarray,
+    para_sweep_center: jnp.ndarray,
+    rot: jnp.ndarray,
+    trans: jnp.ndarray,
+    camera: Camera,
+    search_range: int,
+    num_cuts: int = 1,
+    cv_dtype: jnp.dtype = jnp.bfloat16,
+    row_group: int = 2,
+    x_window: int = 5,
+    x_window_dual: bool = True,
+    min_rows_for_kernel: int = 2048,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rows DSCV with the post-gather reduce fused into the Pallas kernel.
+
+    Build + gather are identical to :func:`parallax_sweeping_cv_rows`
+    (including the dual-operand narrow fetch); the per-group correlation /
+    bilinear-weight contraction runs in
+    ``ops/dscv_pallas.py::fused_reduce_chunk``, consuming each group's
+    gather output in its native row-major layout. The algebra maps onto the
+    split-formulation kernel by relabeling its (dx-chunk, dy) block grid to
+    this formulation's (dy-group, x-window) grid — per fetched row the
+    blocks are (dyl in [0,G), dxl in [0,dn)) with separable weights
+    wA[s,G] (group axis) x wB[s,dn] (window axis), which is exactly the
+    kernel's (nd=G, d=dn) shape with the stacked weight vector [wA | wB].
+
+    The round-3 fused kernel lost end-to-end against the SPLIT operand
+    (DEVELOPMENT.md "Round-3 DSCV campaign"): its per-chunk bilinear weight
+    expansion cost ~matched the XLA reduce chain it replaced at the split
+    operand's nd*d*ch width. The dual-narrow operand is G*dn*ch wide —
+    nd*d -> G*dn = 10 blocks/row and the weight expansion K shrinks from
+    s*(nd+d) to s*(G+dn) — which re-opens the lane-economics question this
+    variant exists to measure (VERDICT round-4 directive #3).
+
+    Forward-only (no VJP — serving/eval path, like ``dscv_impl="fused"``);
+    returns the center hypothesis' warped parallax only (the model consumes
+    only that, m4depth_network.py:238-241). Levels with fewer than
+    ``min_rows_for_kernel`` pixels fall back to the plain rows impl.
+    Replaces the same reference kernel
+    (cuda_backproject/backproject_op_gpu.cu.cc:20-103).
+    """
+    b, h, w, C = c1.shape
+    n = h * w
+    s = 2 * search_range + 1
+    d = 2 * search_range + 2
+    G = row_group
+    if d % G != 0:
+        raise ValueError(f"row_group must divide {d}, got {G}")
+    if x_window >= d:
+        x_window = 0                       # full fetch anyway (rows parity)
+    if b * n < min_rows_for_kernel:
+        return parallax_sweeping_cv_rows(
+            c1, c2, para_prev_t, para_sweep_center, rot, trans, camera,
+            search_range, num_cuts=num_cuts, cv_dtype=cv_dtype,
+            row_group=G, para_hyps=(search_range,), x_window=x_window,
+            x_window_dual=x_window_dual)
+    if x_window and x_window_dual and x_window < G + 3:
+        raise ValueError(
+            f"dscv_x_window={x_window} with dscv_xw_dual needs x_window >= "
+            f"row_group+3 (= {G + 3}) to be exact")
+
+    from m4depth_tpu.ops.dscv_pallas import fused_reduce_chunk
+
+    groups = d // G
+    ch = C + 1
+    cc = C // num_cuts
+    del cc  # (kernel derives it from C/cuts)
+    r = search_range
+    dn = x_window if x_window else d
+
+    e = epipolar_terms(h, w, rot, trans, camera)
+    unit = (e.delta / jnp.maximum(e.rho, 1e-12)).reshape(b, n, 1, 2)
+    proj = e.proj.reshape(b, n, 1, 2)
+    disp0 = jnp.clip(para_sweep_center, 1e-6, 1e6).reshape(b, n, 1)
+    grid_off = camera.c.reshape(b, 1, 1, 2) - 0.5
+    offsets = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    disp_k = jnp.clip(disp0 + offsets.reshape(1, 1, -1), 1e-6, 1e6)
+    q = proj + unit * disp_k[..., None] + grid_off        # [b,n,s,2]
+    qx, qy = q[..., 0], q[..., 1]
+    cx = jnp.clip(jnp.floor(qx[..., r]), 0, w - 1).astype(jnp.int32)
+    cy = jnp.clip(jnp.floor(qy[..., r]), 0, h - 1).astype(jnp.int32)
+
+    combined = jnp.concatenate(
+        [c2.astype(cv_dtype), _saturating_cast(para_prev_t, cv_dtype)],
+        axis=-1)
+    padded = jnp.pad(
+        combined, ((0, 0), (r, r + 1), (r, r + 1), (0, 0)), mode="edge")
+
+    x0 = jnp.clip(jnp.floor(qx), 0, w - 2)
+    y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
+    ax = jnp.clip(qx - x0, 0.0, 1.0)
+    ay = jnp.clip(qy - y0, 0.0, 1.0)
+    relx = x0.astype(jnp.int32) - cx[..., None]
+    rely = y0.astype(jnp.int32) - cy[..., None]
+    dgrid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, d), 3) - r
+    wx = ((dgrid == relx[..., None]) * (1.0 - ax[..., None])
+          + (dgrid == relx[..., None] + 1) * ax[..., None]).astype(cv_dtype)
+    wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
+          + (dgrid == rely[..., None] + 1) * ay[..., None]).astype(cv_dtype)
+
+    c1_hw = c1.astype(jnp.bfloat16).reshape(b * h, w, C)
+    big = jnp.int32(2 ** 30)
+    kc = G * dn * ch
+    ws = s * (G + dn)
+
+    if not x_window:
+        # full-width rows: operand/index as the plain rows loop
+        ny = h + d - G
+        exp = jnp.concatenate(
+            [padded[:, dyl:dyl + ny, dx:dx + w, :]
+             for dyl in range(G) for dx in range(d)], axis=-1)
+        flat = exp.reshape(b, ny * w, kc)
+        base_idx = (cy * w + cx).reshape(b, n, 1)
+        wxf = wx.reshape(b * n, s * d)
+        acc = None
+        for g in range(groups):
+            fetched = jnp.take_along_axis(flat, base_idx + (g * G) * w,
+                                          axis=1, mode="promise_in_bounds")
+            w_stack = jnp.concatenate(
+                [wy[:, :, :, g * G:(g + 1) * G].reshape(b * n, s * G), wxf],
+                axis=-1).astype(jnp.bfloat16).reshape(b * h, w, ws)
+            part = fused_reduce_chunk(
+                fetched.reshape(b * n, kc), c1_hw, w_stack,
+                C=C, cuts=num_cuts, nd=G, d=d, s=s, center=r)
+            acc = part if acc is None else acc + part
+    elif not x_window_dual:
+        # single-operand narrow (steep-field approximation, as
+        # _rows_narrow_loop)
+        ny = h + d - G
+        wext = w + d - dn
+        exp = jnp.concatenate(
+            [padded[:, dyl:dyl + ny, dx:dx + wext, :]
+             for dyl in range(G) for dx in range(dn)], axis=-1)
+        flat = exp.reshape(b, ny * wext, kc)
+        jgrid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, dn), 3)
+        acc = None
+        for g in range(groups):
+            lo, hi = g * G - r - 1, g * G - r + G - 1
+            m = (rely >= lo) & (rely <= hi)
+            minr = jnp.where(m, relx, big).min(axis=-1)
+            bxo = jnp.clip(minr + r, 0, d - dn)
+            idx_g = ((cy + g * G) * wext + cx + bxo).reshape(b, n, 1)
+            fetched = jnp.take_along_axis(flat, idx_g, axis=1,
+                                          mode="promise_in_bounds")
+            rel_j = relx - (bxo[..., None] - r)
+            wx_g = ((jgrid == rel_j[..., None]) * (1.0 - ax[..., None])
+                    + (jgrid == rel_j[..., None] + 1)
+                    * ax[..., None]).astype(cv_dtype)
+            w_stack = jnp.concatenate(
+                [wy[:, :, :, g * G:(g + 1) * G].reshape(b * n, s * G),
+                 wx_g.reshape(b * n, s * dn)],
+                axis=-1).astype(jnp.bfloat16).reshape(b * h, w, ws)
+            part = fused_reduce_chunk(
+                fetched.reshape(b * n, kc), c1_hw, w_stack,
+                C=C, cuts=num_cuts, nd=G, d=dn, s=s, center=r)
+            acc = part if acc is None else acc + part
+    else:
+        # dual-operand narrow (the shipped-default composition, as
+        # _rows_narrow_dual_loop — see there for the branch-choice math)
+        wext = w + d - dn
+        hext = h + d - dn
+        ny = h + d - G
+        nx = w + d - G
+        exp_y = jnp.concatenate(
+            [padded[:, dyl:dyl + ny, dx:dx + wext, :]
+             for dyl in range(G) for dx in range(dn)], axis=-1)
+        padded_t = padded.transpose(0, 2, 1, 3)
+        exp_x = jnp.concatenate(
+            [padded_t[:, dxl:dxl + nx, dy:dy + hext, :]
+             for dxl in range(G) for dy in range(dn)], axis=-1)
+        flat = jnp.concatenate(
+            [exp_y.reshape(b, ny * wext, kc),
+             exp_x.reshape(b, nx * hext, kc)], axis=1)
+        t_off = ny * wext
+
+        jgrid = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, dn), 3)
+        rxc = jnp.clip(relx, -r, r + 1)
+        ryc = jnp.clip(rely, -r, r + 1)
+        mins_y, maxs_y, mins_x, maxs_x = [], [], [], []
+        for g in range(groups):
+            lo, hi = g * G - r - 1, g * G - r + G - 1
+            m_y = (rely >= lo) & (rely <= hi)
+            m_x = (relx >= lo) & (relx <= hi)
+            mins_y.append(jnp.where(m_y, rxc, big).min(axis=-1))
+            maxs_y.append(jnp.where(m_y, rxc, -big).max(axis=-1))
+            mins_x.append(jnp.where(m_x, ryc, big).min(axis=-1))
+            maxs_x.append(jnp.where(m_x, ryc, -big).max(axis=-1))
+        span_y = functools.reduce(jnp.maximum,
+                                  [jnp.maximum(mx - mn, 0)
+                                   for mn, mx in zip(mins_y, maxs_y)])
+        span_x = functools.reduce(jnp.maximum,
+                                  [jnp.maximum(mx - mn, 0)
+                                   for mn, mx in zip(mins_x, maxs_x)])
+        steep = span_y <= span_x
+        steep_g = steep[..., None]
+
+        acc = None
+        for g in range(groups):
+            bxo = jnp.clip(mins_y[g] + r, 0, d - dn)
+            idx_y = (cy + g * G) * wext + cx + bxo
+            byo = jnp.clip(mins_x[g] + r, 0, d - dn)
+            idx_x = t_off + (cx + g * G) * hext + cy + byo
+            idx_g = jnp.where(steep, idx_y, idx_x).reshape(b, n, 1)
+            fetched = jnp.take_along_axis(flat, idx_g, axis=1,
+                                          mode="promise_in_bounds")
+            wA = jnp.where(steep_g[..., None],
+                           wy[:, :, :, g * G:(g + 1) * G],
+                           wx[:, :, :, g * G:(g + 1) * G])
+            rel_jy = relx - (bxo[..., None] - r)
+            rel_jx = rely - (byo[..., None] - r)
+            rel_j = jnp.where(steep_g, rel_jy, rel_jx)
+            aB = jnp.where(steep_g, ax, ay)
+            wB = ((jgrid == rel_j[..., None]) * (1.0 - aB[..., None])
+                  + (jgrid == rel_j[..., None] + 1)
+                  * aB[..., None]).astype(cv_dtype)
+            w_stack = jnp.concatenate(
+                [wA.reshape(b * n, s * G), wB.reshape(b * n, s * dn)],
+                axis=-1).astype(jnp.bfloat16).reshape(b * h, w, ws)
+            part = fused_reduce_chunk(
+                fetched.reshape(b * n, kc), c1_hw, w_stack,
+                C=C, cuts=num_cuts, nd=G, d=dn, s=s, center=r)
+            acc = part if acc is None else acc + part
+
+    # kernel channels are (k-major, cut-minor) + the parallax channel; the
+    # model wants cut-major / hypothesis-minor
+    cv = acc[..., :s * num_cuts].reshape(b, h, w, s, num_cuts)
+    cv = cv.transpose(0, 1, 2, 4, 3).reshape(b, h, w, num_cuts * s)
+    para_w = acc[..., -1:].reshape(b, h, w, 1)
+    return cv, para_w
+
+
 def _chunked_fetch(exp_y, idx, w, bounds, d, ch):
     """Chunked x-expansion + per-pixel row fetch.
 

@@ -645,6 +645,49 @@ class TestDSCV:
         np.testing.assert_allclose(outs["split"], outs["gather"],
                                    rtol=2e-3, atol=2e-3)
 
+    def test_model_level_rows_fused_matches_rows(self):
+        """Full-model forward equivalence of dscv_impl='rows_fused' vs the
+        shipped 'rows' default, sized so the finest level (48x48 = 2304 px)
+        actually takes the Pallas kernel path (catches composition-level
+        wiring bugs like a wrong para_hyps tuple — the hypothesis-index
+        class of bug the split/gather test above guards)."""
+        import jax as _jax
+
+        from m4depth_tpu.config import ModelConfig
+        from m4depth_tpu.models import M4Depth
+        from m4depth_tpu.train import batch_camera
+
+        rng = np.random.RandomState(9)
+        b, T, h, w = 1, 2, 96, 96
+        batch = {
+            "rgb": rng.rand(b, T, h, w, 3).astype(np.float32),
+            "rot": np.tile(np.array([1.0, 0.002, -0.001, 0.0005],
+                                    np.float32), (b, T, 1)),
+            "trans": np.tile(np.array([0.05, 0.02, 0.4], np.float32),
+                             (b, T, 1)),
+            "camera_f": np.full((b, 2), 48.0, np.float32),
+            "camera_c": np.full((b, 2), 48.0, np.float32),
+        }
+        outs = {}
+        params = None
+        for impl in ("rows", "rows_fused"):
+            cfg = ModelConfig(num_levels=2, encoder_channels=(8, 12),
+                              refiner_prep_channels=(16, 16, 8),
+                              refiner_est_channels=(8, 8, 5),
+                              dscv_impl=impl)
+            model = M4Depth(cfg)
+            if params is None:
+                params = _jax.jit(model.init)(
+                    _jax.random.PRNGKey(0), batch["rgb"], batch["rot"],
+                    batch["trans"], batch_camera(batch))
+            pyrs = model.apply(params, batch["rgb"], batch["rot"],
+                               batch["trans"], batch_camera(batch))
+            outs[impl] = np.array(pyrs[-1][0].depth)
+        # bf16-epsilon-scale differences (rows rounds corr to cv_dtype,
+        # the kernel keeps f32 after the MXU), amplified one refiner pass
+        np.testing.assert_allclose(outs["rows_fused"], outs["rows"],
+                                   rtol=2e-2, atol=2e-2)
+
     def test_model_level_rows_dual_window_matches_full(self):
         """Full-model forward equivalence of the dual narrow window
         (dscv_x_window=5, dscv_xw_dual) vs the full-width rows impl, in
@@ -784,6 +827,52 @@ class TestFusedAndInt8Variants:
                                    rtol=2e-2, atol=4e-3)
         np.testing.assert_allclose(np.asarray(pw_b), np.asarray(pw_a),
                                    rtol=2e-2, atol=4e-2)
+
+    @pytest.mark.parametrize("cuts", [1, 2])
+    @pytest.mark.parametrize("mode", ["full", "single", "dual"])
+    def test_rows_fused_matches_rows(self, mode, cuts):
+        """rows_fused = rows build/gather + the Pallas reduce relabeled to
+        the (dy-group, x-window) block grid (round-5 re-attack of the fused
+        reduce on the narrow operand, VERDICT r4 #3). Parity target is the
+        plain rows impl at the SAME (x_window, dual) flags — whatever the
+        rows formulation computes, the kernel must reproduce."""
+        from m4depth_tpu.ops.cost_volume import (
+            parallax_sweeping_cv_rows,
+            parallax_sweeping_cv_rows_fused,
+        )
+
+        xw = 0 if mode == "full" else 5
+        dual = mode == "dual"
+        c1, c2, para, center, rot, trans, cam = self._inputs()
+        cv_r, pw_r = parallax_sweeping_cv_rows(
+            c1, c2, para, center, rot, trans, cam, 4, num_cuts=cuts,
+            row_group=2, para_hyps=(4,), x_window=xw, x_window_dual=dual)
+        cv_f, pw_f = parallax_sweeping_cv_rows_fused(
+            c1, c2, para, center, rot, trans, cam, 4, num_cuts=cuts,
+            row_group=2, x_window=xw, x_window_dual=dual)
+        # rows rounds corr to bf16 (cv_dtype) where the kernel keeps f32
+        # after the MXU — bf16-epsilon-scale differences, as the split/fused
+        # pair above
+        np.testing.assert_allclose(np.asarray(cv_f), np.asarray(cv_r),
+                                   rtol=2e-2, atol=6e-3)
+        np.testing.assert_allclose(np.asarray(pw_f), np.asarray(pw_r),
+                                   rtol=2e-2, atol=3e-2)
+
+    def test_rows_fused_small_level_falls_back_to_rows(self):
+        from m4depth_tpu.ops.cost_volume import (
+            parallax_sweeping_cv_rows,
+            parallax_sweeping_cv_rows_fused,
+        )
+
+        c1, c2, para, center, rot, trans, cam = self._inputs(h=16, w=16)
+        cv_r, pw_r = parallax_sweeping_cv_rows(
+            c1, c2, para, center, rot, trans, cam, 4, row_group=2,
+            para_hyps=(4,), x_window=5, x_window_dual=True)
+        cv_f, pw_f = parallax_sweeping_cv_rows_fused(
+            c1, c2, para, center, rot, trans, cam, 4, row_group=2,
+            x_window=5, x_window_dual=True)
+        np.testing.assert_array_equal(np.asarray(cv_f), np.asarray(cv_r))
+        np.testing.assert_array_equal(np.asarray(pw_f), np.asarray(pw_r))
 
     def test_int8_para_hyps_all(self):
         c1, c2, para, center, rot, trans, cam = self._inputs()
