@@ -18,9 +18,19 @@ Kill/resume: this process can be killed at any point; relaunching with the
 same --workdir resumes from the latest rolling checkpoint (the stream is a
 pure function of (seed, epoch, step), so the data replays exactly).
 
+Extending a finished run: relaunching with a LARGER --steps resumes from
+the last checkpoint and trains on toward the new total. The cosine LR
+schedule is a function of (step, total_steps), so the extension is a warm
+restart — at the old endpoint the LR jumps from ~0 back onto the longer
+schedule's mid-curve (e.g. 50k->100k resumes at lr = 0.5 * peak) and decays
+to zero at the new total. Optimizer moments carry over; the data stream
+continues epoch-exactly. The best-K ledger and heldout.json both append,
+so one workdir accumulates the full quality history across extensions.
+
 Usage:
   python tools/rehearsal.py --workdir /tmp/rehearsal --steps 50000
   # ... kill it mid-run, relaunch with the same command -> resumes
+  python tools/rehearsal.py --workdir /tmp/rehearsal --steps 100000  # extend
   python tools/rehearsal.py --workdir /tmp/rehearsal --heldout_only
 """
 
