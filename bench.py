@@ -133,15 +133,21 @@ def main():
 
     fps = float(np.median(block_fps))
     watchdog.cancel()
-    print(json.dumps({
-        "metric": "stream_fps_384",
+    record = {
+        # smoke mode measures 64x64 d3 on CPU — a different metric name (and
+        # an explicit flag) so a leaked M4DEPTH_BENCH_SMOKE=1 in the driver's
+        # environment can never masquerade as a 384^2 TPU regression
+        "metric": "smoke_fps_64_cpu" if smoke else "stream_fps_384",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": None if smoke else round(fps / BASELINE_FPS, 3),
         "spread_min": round(min(block_fps), 2),
         "spread_max": round(max(block_fps), 2),
         "blocks": [round(x, 2) for x in block_fps],
-    }))
+    }
+    if smoke:
+        record["smoke"] = True
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

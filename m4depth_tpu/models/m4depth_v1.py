@@ -239,7 +239,7 @@ class M4DepthV1(nn.Module):
         return resize_nearest(preds[-1][0], hw)
 
 
-def m4depth_v1_loss(gt_depth_seq: jnp.ndarray, preds, seq_len: int = None,
+def m4depth_v1_loss(gt_depth_seq: jnp.ndarray, preds,
                     single_frame: bool = False) -> jnp.ndarray:
     """Legacy pyramid log-L1: clip depths to [0.1, 200], weight level j
     (finest first) by 0.64/2**(j-1), average over frames

@@ -30,19 +30,29 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
     # ~30 ms no-op when fresh) — only rebuilding when the .so was ABSENT
     # silently tested edits to backproject.cc against a stale binary. A
     # failed make (no toolchain) still falls through to loading a prebuilt
-    # .so if one is present.
-    try:
-        subprocess.run(["make", "-C", _DIR], check=True,
-                       capture_output=True, timeout=120)
-    except Exception:
-        if not os.path.isfile(_LIB_PATH):
+    # .so if one is present. The build+load pair holds an exclusive flock:
+    # g++ writes the .so in place (non-atomically), so two processes
+    # importing concurrently after a source edit could otherwise dlopen a
+    # half-written binary (trainer + validation subprocess, pytest workers).
+    lock_path = os.path.join(_DIR, ".build.lock")
+    with open(lock_path, "w") as lock_f:
+        try:
+            import fcntl
+            fcntl.flock(lock_f, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: fall back to unserialized build
+            pass
+        try:
+            subprocess.run(["make", "-C", _DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            if not os.path.isfile(_LIB_PATH):
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
             _build_failed = True
             return None
-    try:
-        lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        _build_failed = True
-        return None
 
     fp = ctypes.POINTER(ctypes.c_float)
     lib.backproject_forward.argtypes = [fp, fp, fp] + [ctypes.c_int] * 5

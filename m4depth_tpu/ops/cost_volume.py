@@ -290,14 +290,7 @@ def parallax_sweeping_cv_rows(
          (search_range, search_range + 1), (0, 0)),
         mode="edge")
 
-    # operand: spatial row y holds y-shifts [y, y+G) x x-shifts [0, d),
-    # (dy-major, dx, ch) channel order within the row — built ONCE (G*d*ch
-    # wide), vs the split impl's d^2*ch of chunk concats
     ny = h + d - G
-    exp = checkpoint_name(jnp.concatenate(
-        [padded[:, dyl:dyl + ny, dx:dx + w, :]
-         for dyl in range(G) for dx in range(d)], axis=-1), "dscv_exp_y")
-    flat = checkpoint_name(exp.reshape(b, ny * w, G * d * ch), "dscv_exp_y")
 
     x0 = jnp.clip(jnp.floor(qx), 0, w - 2)
     y0 = jnp.clip(jnp.floor(qy), 0, h - 2)
@@ -342,6 +335,15 @@ def parallax_sweeping_cv_rows(
             b, n, h, w, C, s, d, G, groups, ch, cc, num_cuts, cv_dtype,
             x_window, search_range, padded, ny, cy, cx, relx, rely, ax,
             wy, c1r, ks)
+    # full-width operand: spatial row y holds y-shifts [y, y+G) x x-shifts
+    # [0, d), (dy-major, dx, ch) channel order within the row — built ONCE
+    # (G*d*ch wide), vs the split impl's d^2*ch of chunk concats. Built
+    # AFTER the narrow-window dispatch: the narrow loops build their own
+    # dn-wide operands and never read this one.
+    exp = checkpoint_name(jnp.concatenate(
+        [padded[:, dyl:dyl + ny, dx:dx + w, :]
+         for dyl in range(G) for dx in range(d)], axis=-1), "dscv_exp_y")
+    flat = checkpoint_name(exp.reshape(b, ny * w, G * d * ch), "dscv_exp_y")
     base_idx = (cy * w + cx).reshape(b, n, 1)
     cv = None
     para_w = None
@@ -578,6 +580,13 @@ def parallax_sweeping_cv_rows_fused(
     s*(nd+d) to s*(G+dn) — which re-opens the lane-economics question this
     variant exists to measure (VERDICT round-4 directive #3).
 
+    The build/gather stages deliberately mirror the rows helpers line-for-
+    line rather than sharing a factored body: the rows path is the shipped
+    hot default and a pluggable-reduce indirection was not worth perturbing
+    its measured fusion behavior for a kept-as-record variant. Divergence
+    is guarded twice — op/model parity vs rows (tests/test_cost_volume.py)
+    and the d6 TF-parity matrix includes this impl head-on.
+
     Forward-only (no VJP — serving/eval path, like ``dscv_impl="fused"``);
     returns the center hypothesis' warped parallax only (the model consumes
     only that, m4depth_network.py:238-241). Levels with fewer than
@@ -594,6 +603,10 @@ def parallax_sweeping_cv_rows_fused(
         raise ValueError(f"row_group must divide {d}, got {G}")
     if x_window >= d:
         x_window = 0                       # full fetch anyway (rows parity)
+    if x_window and x_window < 2:
+        # mirror _rows_narrow_loop's bound: a 1-tap window cannot hold both
+        # bilinear x-taps, so the +1 tap's weight mass would silently vanish
+        raise ValueError(f"x_window must be in [2, {d}], got {x_window}")
     if b * n < min_rows_for_kernel:
         return parallax_sweeping_cv_rows(
             c1, c2, para_prev_t, para_sweep_center, rot, trans, camera,
@@ -609,8 +622,6 @@ def parallax_sweeping_cv_rows_fused(
 
     groups = d // G
     ch = C + 1
-    cc = C // num_cuts
-    del cc  # (kernel derives it from C/cuts)
     r = search_range
     dn = x_window if x_window else d
 
@@ -644,7 +655,14 @@ def parallax_sweeping_cv_rows_fused(
     wy = ((dgrid == rely[..., None]) * (1.0 - ay[..., None])
           + (dgrid == rely[..., None] + 1) * ay[..., None]).astype(cv_dtype)
 
-    c1_hw = c1.astype(jnp.bfloat16).reshape(b * h, w, C)
+    # kernel compute dtype: bf16 for any 16-bit cv_dtype (the MXU's native
+    # fast type; the fp16 weight rounding upstream keeps parity with the
+    # rows impl), f32 when the caller pins cv_dtype="float32" for tight
+    # parity runs — previously the kernel silently stayed bf16 and could
+    # not face the f32 TF-parity bound
+    kdt = (jnp.float32 if jnp.dtype(cv_dtype) == jnp.float32
+           else jnp.bfloat16)
+    c1_hw = c1.astype(kdt).reshape(b * h, w, C)
     big = jnp.int32(2 ** 30)
     kc = G * dn * ch
     ws = s * (G + dn)
@@ -664,7 +682,7 @@ def parallax_sweeping_cv_rows_fused(
                                           axis=1, mode="promise_in_bounds")
             w_stack = jnp.concatenate(
                 [wy[:, :, :, g * G:(g + 1) * G].reshape(b * n, s * G), wxf],
-                axis=-1).astype(jnp.bfloat16).reshape(b * h, w, ws)
+                axis=-1).astype(kdt).reshape(b * h, w, ws)
             part = fused_reduce_chunk(
                 fetched.reshape(b * n, kc), c1_hw, w_stack,
                 C=C, cuts=num_cuts, nd=G, d=d, s=s, center=r)
@@ -695,7 +713,7 @@ def parallax_sweeping_cv_rows_fused(
             w_stack = jnp.concatenate(
                 [wy[:, :, :, g * G:(g + 1) * G].reshape(b * n, s * G),
                  wx_g.reshape(b * n, s * dn)],
-                axis=-1).astype(jnp.bfloat16).reshape(b * h, w, ws)
+                axis=-1).astype(kdt).reshape(b * h, w, ws)
             part = fused_reduce_chunk(
                 fetched.reshape(b * n, kc), c1_hw, w_stack,
                 C=C, cuts=num_cuts, nd=G, d=dn, s=s, center=r)
@@ -761,7 +779,7 @@ def parallax_sweeping_cv_rows_fused(
                   * aB[..., None]).astype(cv_dtype)
             w_stack = jnp.concatenate(
                 [wA.reshape(b * n, s * G), wB.reshape(b * n, s * dn)],
-                axis=-1).astype(jnp.bfloat16).reshape(b * h, w, ws)
+                axis=-1).astype(kdt).reshape(b * h, w, ws)
             part = fused_reduce_chunk(
                 fetched.reshape(b * n, kc), c1_hw, w_stack,
                 C=C, cuts=num_cuts, nd=G, d=dn, s=s, center=r)

@@ -17,10 +17,10 @@ VMEM-resident map:
     accumulation needs no atomics; the output block index ignores the tile
     axis, keeping the map VMEM-resident across tiles (zeroed at tile 0).
   * per pixel: concatenate the per-chunk cotangent rows to [d, d*ch], pad
-    to a 24-row container, shift to the in-band offset with a dynamic
-    sublane roll (cx & 7), and add into the 8-aligned band
-    out[cy, cx & ~7 : +24, :] — honoring Mosaic's 8-aligned dynamic
-    sublane-start rule.
+    to a (7+d)-rounded-to-8 row container (24 at the default d=10), shift
+    to the in-band offset with a dynamic sublane roll (cx & 7), and add
+    into the 8-aligned band out[cy, cx & ~7 : +cb, :] — honoring Mosaic's
+    8-aligned dynamic sublane-start rule.
   * cy/cx indices ride in SMEM blocks for scalar loop reads.
 
 The result is grad wrt exp_y directly; the remaining adjoint back to the
@@ -97,7 +97,12 @@ def fetch_grad(cots, cy, cx, *, h, w, d, ch, rows_per_tile=256,
     b, n = cy.shape
     dch = d * ch
     itemsize = jnp.dtype(cots[0].dtype).itemsize
-    cb = 24                            # band rows: (cx & 7) + d <= 17 <= 24
+    # band rows: the roll places data at sublanes (cx & 7)..(cx & 7)+d-1,
+    # so the band must hold 7 + d rows, rounded to the 8-sublane grid.
+    # A fixed cb=24 was only correct for d <= 17 (search_range <= 7):
+    # pltpu.roll is cyclic, so a larger d silently WRAPPED the tail rows
+    # onto the band start, corrupting gradients instead of failing.
+    cb = -(-(d + 7) // 8) * 8          # 24 at the default d=10
     wp = ((w - 1) // 8) * 8 + cb       # band always in-bounds after padding
     assert wp >= w + d - 1
 
@@ -109,8 +114,13 @@ def fetch_grad(cots, cy, cx, *, h, w, d, ch, rows_per_tile=256,
         out_bytes = 2 * h * wp * lb * itemsize
         if out_bytes <= (vmem_budget * 3) // 4 or lb == 128:
             break
-    # rows per tile: input blocks are double-buffered; nd pads to 8 sublanes
-    in_row_bytes = 2 * len(cots) * 8 * lb * itemsize
+    # rows per tile: input blocks are double-buffered; each chunk's nd_j
+    # sublane dim pads to the dtype's sublane tile (16 for 2-byte types) —
+    # a flat 8-per-chunk estimate undercounted wide chunks (e.g. a single
+    # d=10 chunk really occupies 16 sublanes)
+    st = 16 if itemsize == 2 else 8
+    in_row_bytes = 2 * sum(-(-c.shape[2] // st) * st
+                           for c in cots) * lb * itemsize
     r = min(rows_per_tile, n)
     r = ((r + 7) // 8) * 8             # SMEM fold below needs 8 | r
     while r > 8 and out_bytes + r * in_row_bytes > vmem_budget:

@@ -61,7 +61,8 @@ from jax.experimental import pallas as pl
 
 
 @functools.lru_cache(maxsize=None)
-def _constants(C: int, cuts: int, nd: int, d: int, s: int):
+def _constants(C: int, cuts: int, nd: int, d: int, s: int,
+               dtype: str = "bfloat16"):
     """Constant shuffle/reduce matrices for one (level, chunk-width) shape.
 
     Row layout of a fetched chunk row: (dx local in [0, nd), dy in [0, d),
@@ -108,26 +109,28 @@ def _constants(C: int, cuts: int, nd: int, d: int, s: int):
     for k in range(s):
         for cut in range(cuts):
             S2[k * m1 + cut * nj:k * m1 + (cut + 1) * nj, k * cuts + cut] = 1.0
-    # everything bf16: all matrices are 0/1 selections (exact), and the MXU
-    # runs bf16 at ~8x its f32 rate — the f32 variant measured 2.4x slower
-    return tuple(jnp.asarray(a, jnp.bfloat16)
+    # bf16 by default: all matrices are 0/1 selections (exact), and the MXU
+    # runs bf16 at ~8x its f32 rate — the f32 variant measured 2.4x slower.
+    # f32 is used only when the caller runs the whole kernel at f32 for
+    # tight parity/debug comparisons (cv_dtype="float32").
+    return tuple(jnp.asarray(a, jnp.dtype(dtype))
                  for a in (T, PM, S, Rxy, Tile, S2))
 
 
 def _reduce_kernel(f_ref, c1_ref, wxy_ref, t_ref, pm_ref, s_ref,
                    rxy_ref, tile_ref, s2_ref, out_ref, *,
-                   C, cuts, nd, d, s, center):
+                   C, cuts, nd, d, s, center, cdt):
     nj = nd * d
     m1 = cuts * nj
     inv_cc = np.float32(cuts / C)
     th, w_img, _ = c1_ref.shape
     tn = th * w_img
 
-    F = f_ref[:]                                          # [TN, Kc] bf16
+    F = f_ref[:]                                          # [TN, Kc] cdt
     c1 = c1_ref[:].reshape(tn, C)
     c1rep = jnp.dot(c1, t_ref[:],                         # 0/1 select: exact
                     preferred_element_type=jnp.float32
-                    ).astype(jnp.bfloat16) + pm_ref[:]
+                    ).astype(cdt) + pm_ref[:]
     weighted = F * c1rep
     D = jnp.dot(weighted, s_ref[:],
                 preferred_element_type=jnp.float32)       # [TN, M1+nj]
@@ -138,11 +141,11 @@ def _reduce_kernel(f_ref, c1_ref, wxy_ref, t_ref, pm_ref, s_ref,
     ab = jnp.dot(wxwy, rxy_ref[:],
                  preferred_element_type=jnp.float32)      # [TN, 2*s*m1]
     wxy = ab[:, :s * m1] * ab[:, s * m1:]                 # [TN, s*m1]
-    # bf16 rounding of bs/prod matches the split impl, whose corr tensor is
-    # bf16 end-to-end
-    prod = (jnp.dot(bs.astype(jnp.bfloat16), tile_ref[:],
+    # cdt rounding of bs/prod matches the non-fused impls, whose corr tensor
+    # is cv_dtype end-to-end (bf16 on the default path; f32 for parity runs)
+    prod = (jnp.dot(bs.astype(cdt), tile_ref[:],
                     preferred_element_type=jnp.float32) * wxy)
-    cv = jnp.dot(prod.astype(jnp.bfloat16), s2_ref[:],
+    cv = jnp.dot(prod.astype(cdt), s2_ref[:],
                  preferred_element_type=jnp.float32)      # [TN, s*cuts]
     para = jnp.sum(P * wxy[:, center * m1:center * m1 + nj],
                    axis=1, keepdims=True)                 # [TN, 1]
@@ -155,12 +158,16 @@ def fused_reduce_chunk(fetched, c1_hw, wxy_hw, *, C, cuts, nd, d, s,
     """Reduce one gathered chunk to (partial cv, partial center parallax).
 
     Args:
-      fetched: [bh*w, nd*d*(C+1)] bf16 gathered rows, row-major (raster
-        pixel order).
-      c1_hw: [bh, w, C] bf16 — cut-normalized current features in their
+      fetched: [bh*w, nd*d*(C+1)] gathered rows, row-major (raster pixel
+        order).
+      c1_hw: [bh, w, C] — cut-normalized current features in their
         natural spatial shape (batch folded into rows).
-      wxy_hw: [bh, w, s*(nd+d)] bf16 — per-hypothesis chunk-local dx
+      wxy_hw: [bh, w, s*(nd+d)] — per-hypothesis chunk-local dx
         bilinear weights stacked with the dy weights (both k-major).
+
+    The kernel's compute dtype follows ``c1_hw.dtype`` (bf16 on the default
+    serving path; f32 when the caller runs a tight-parity comparison with
+    cv_dtype="float32" — 2.4x slower on the MXU, correctness-only).
 
     Returns: [bh, w, s*cuts + 1] f32 — per-hypothesis per-cut partial
     correlations (k-major, cut-minor) and the partial center-hypothesis
@@ -169,13 +176,14 @@ def fused_reduce_chunk(fetched, c1_hw, wxy_hw, *, C, cuts, nd, d, s,
     """
     bh, w_img, _ = c1_hw.shape
     kc = nd * d * (C + 1)
-    consts = _constants(C, cuts, nd, d, s)
+    cdt = c1_hw.dtype
+    consts = _constants(C, cuts, nd, d, s, dtype=jnp.dtype(cdt).name)
     row_budget = 1024 if kc <= 768 else (512 if kc <= 2048 else 256)
     th = min(bh, max(1, row_budget // w_img))
     tn = th * w_img
     grid = (pl.cdiv(bh, th),)
     kern = functools.partial(_reduce_kernel, C=C, cuts=cuts, nd=nd, d=d, s=s,
-                             center=center)
+                             center=center, cdt=cdt)
     mo = s * cuts + 1
 
     def const_spec(a):

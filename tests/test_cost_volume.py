@@ -304,6 +304,47 @@ class TestDSCV:
             np.testing.assert_allclose(np.array(b_), np.array(a),
                                        rtol=1e-3, atol=1e-4)
 
+    def test_pallas_bwd_wide_search_range(self):
+        """Gradient parity of bwd_impl='pallas' at search_range=8 (d=18):
+        the kernel's RMW band must widen with d — a fixed 24-row band only
+        held (cx & 7) + d rows for d <= 17, and pltpu.roll is cyclic, so
+        larger sweeps silently WRAPPED tail rows onto the band start
+        (corrupted dc2/dpara with no error). Regression for the adaptive
+        band in ops/dscv_bwd_pallas.py::fetch_grad."""
+        import jax
+
+        rng = np.random.RandomState(13)
+        r = 8
+        s = 2 * r + 1
+        b, h, w, C = 1, 20, 20, 4
+        cam = make_camera(b, f=(10.0, 10.0), c=(10.0, 10.0))
+        rot = jnp.array([[1.0, 0.01, -0.02, 0.0]], jnp.float32)
+        rot = rot / jnp.linalg.norm(rot)
+        trans = jnp.array([[0.3, 0.1, 0.6]], jnp.float32)
+        c1 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        c2 = jnp.asarray(rng.randn(b, h, w, C).astype(np.float32))
+        para_t = jnp.asarray(
+            rng.uniform(0.5, 2, (b, h, w, 1)).astype(np.float32))
+        center = jnp.asarray(
+            rng.uniform(0.5, 3, (b, h, w, 1)).astype(np.float32))
+        gcv = jnp.asarray(rng.randn(b, h, w, s).astype(np.float32))
+        gpw = jnp.asarray(rng.randn(b, h, w, s).astype(np.float32))
+
+        def loss(fn, c1_, c2_, center_):
+            cv, pw = fn(c1_, c2_, para_t, center_, rot, trans, cam, r,
+                        num_cuts=1, cv_dtype=jnp.float32)
+            return (cv * gcv).sum() + (pw * gpw).sum()
+
+        fast = functools.partial(parallax_sweeping_cv_split, n_chunks=3,
+                                 bwd_impl="pallas")
+        g_ref = jax.grad(lambda *a: loss(parallax_sweeping_cv, *a),
+                         argnums=(0, 1, 2))(c1, c2, center)
+        g_exp = jax.grad(lambda *a: loss(fast, *a),
+                         argnums=(0, 1, 2))(c1, c2, center)
+        for a, b_ in zip(g_ref, g_exp):
+            np.testing.assert_allclose(np.array(b_), np.array(a),
+                                       rtol=1e-3, atol=1e-4)
+
     def test_expanded_gradients_finite(self):
         rng = np.random.RandomState(8)
         b, h, w, C = 1, 8, 8, 4

@@ -477,6 +477,12 @@ _D6_DSCV_CONFIGS = {
                   dscv_chunk_bytes=64 << 10),
     "rows_dual": dict(dscv_impl="rows", dscv_row_group=2,
                       dscv_x_window=5, dscv_xw_dual=True),
+    # the Pallas fused-reduce variant (serving-path alternative): same
+    # build+gather as rows_dual, reduce relabeled onto the split kernel —
+    # faces the TF oracle here so a defect shared with 'rows' (its only
+    # in-repo parity anchor in test_cost_volume.py) cannot hide
+    "rows_fused": dict(dscv_impl="rows_fused", dscv_row_group=2,
+                       dscv_x_window=5, dscv_xw_dual=True),
 }
 
 
