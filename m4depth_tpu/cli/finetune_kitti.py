@@ -82,7 +82,10 @@ def main(argv=None):
     )
 
     build_parser(parser)
-    cmd, _ = parser.parse_known_args(argv)
+    cmd, unknown = parser.parse_known_args(argv)
+    if unknown:
+        print(f"WARNING: ignoring unrecognized arguments: {unknown}",
+              flush=True)
     db_paths = dataset_locations(cmd)
 
     from m4depth_tpu.data import SequenceDataset, get_adapter
@@ -113,13 +116,26 @@ def main(argv=None):
     mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
     resume = mgr.resume_epoch
     mgr.close()
-    total = resume * len(joint) + cmd.finetune_steps
+    # reference semantics: resume + steps//len + 1 epochs
+    # (finetune-kitti.py:85) — the +1 guarantees at least one finetune
+    # epoch even when finetune_steps < one epoch; without it a resumed
+    # run with finetune_steps < len(joint) floors to zero new epochs and
+    # silently trains nothing (same math as cli/main.py finetune mode)
+    total = (resume + cmd.finetune_steps // len(joint) + 1) * len(joint)
 
     validation_fn = None
     if cmd.enable_validation:
-        from m4depth_tpu.cli.main import make_validation_fn
+        from m4depth_tpu.cli.main import (
+            SubprocessValidator,
+            make_validation_fn,
+        )
 
-        validation_fn = make_validation_fn(cmd, model, db_paths)
+        # honor --validation_mode like cli/main.py: 'subprocess' keeps the
+        # full KITTI val pass off the training chip
+        if cmd.validation_mode == "subprocess":
+            validation_fn = SubprocessValidator(cmd)
+        else:
+            validation_fn = make_validation_fn(cmd, model, db_paths)
 
     fit(model, joint, tcfg, total_steps=total, resume=True,
         validation_fn=validation_fn)

@@ -64,6 +64,11 @@ def build_dataset(cmd, usecase: str, db_paths: dict, batch_size: int,
         batch_size=batch_size,
         augment=not cmd.no_augmentation,
         out_size=cmd.out_size,
+        # reference finetune semantics for Mid-Air: decode to a SQUARE
+        # intermediate and random-crop down to the (KITTI) out_size with
+        # the principal point shifted (midair.py:91-106) — a plain resize
+        # distorts aspect and bakes wrong intrinsics into training
+        crop=(usecase == "finetune" and cmd.dataset == "midair"),
         seed=getattr(cmd, "seed", 42),
         num_workers=cmd.num_workers,
     )
@@ -94,6 +99,7 @@ class SubprocessValidator:
         self._child = None
         self.spawned = 0
         self.skipped = 0
+        self.failed = 0
         if args is not None:
             self.args, self.env = args, env or dict(os.environ)
             return
@@ -142,9 +148,21 @@ class SubprocessValidator:
             return False
         if self._child.poll() is None:
             return True
-        self._child.wait()  # reap
-        self._child = None
+        self._reap()
         return False
+
+    def _reap(self):
+        """Wait on the finished child and SURFACE a nonzero exit: a child
+        that crashes every epoch (bad val path, rejected flag) otherwise
+        leaves an empty best-K ledger with no hint beyond its log file."""
+        self._child.wait()
+        rc = self._child.returncode
+        self._child = None
+        if rc:
+            self.failed += 1
+            print(f"WARNING: validation subprocess exited rc={rc} "
+                  f"(see {getattr(self, '_log_path', 'the child log')})",
+                  flush=True)
 
     def __call__(self, params):
         del params  # the child restores the latest checkpoint itself
@@ -165,8 +183,7 @@ class SubprocessValidator:
     def close(self):
         """Wait for and reap any in-flight child."""
         if self._child is not None:
-            self._child.wait()
-            self._child = None
+            self._reap()
 
 
 def make_validation_fn(cmd, model, db_paths):
@@ -258,7 +275,13 @@ def main(argv=None):
     )
 
     build_parser(parser)
-    cmd, _ = parser.parse_known_args(argv)
+    cmd, unknown = parser.parse_known_args(argv)
+    if unknown:
+        # tolerated (forward/experiment flags may ride along) but NEVER
+        # silent: a misspelled --enable_validatoin would otherwise change a
+        # multi-day run's behavior with no diagnostic anywhere
+        print(f"WARNING: ignoring unrecognized arguments: {unknown}",
+              flush=True)
     if getattr(cmd, "platform", "") :
         # must happen before any device call; the JAX_PLATFORMS env var is
         # NOT honored on this rig (the axon plugin wins at backend init), so
@@ -341,7 +364,13 @@ def main(argv=None):
 
             augment_fn = make_batch_augment(
                 dataset=cmd.dataset,
-                usecase="finetune" if cmd.mode == "finetune" else "train")
+                usecase="finetune" if cmd.mode == "finetune" else "train",
+                # with host augmentation disabled the decode path yields the
+                # square intermediate uncropped — apply the finetune crop on
+                # device, or the crop silently vanishes from training
+                crop_to=(tuple(dataset.adapter.out_size)
+                         if getattr(dataset.adapter, "crop", False)
+                         else None))
         fit(model, dataset, tcfg, total_steps=total, resume=True,
             validation_fn=validation_fn, augment_fn=augment_fn)
 

@@ -55,6 +55,22 @@ def _bounded_map(fn, items: Sequence, workers: int, ahead: int) -> Iterator:
             yield fut.result()
 
 
+def iter_frames(batches) -> Iterator[Dict[str, np.ndarray]]:
+    """Unroll batched windows into single-frame batches [1, h, w, ...]
+    along the time axis (shared by the CSV and record-store pipelines)."""
+    for batch in batches:
+        for t in range(batch["rgb"].shape[1]):
+            yield {
+                "rgb": batch["rgb"][:, t],
+                "depth": batch["depth"][:, t],
+                "rot": batch["rot"][:, t],
+                "trans": batch["trans"][:, t],
+                "new_traj": batch["new_traj"][:, t],
+                "camera_f": batch["camera_f"],
+                "camera_c": batch["camera_c"],
+            }
+
+
 class SequenceDataset:
     """Windowed sequence dataset over CSV trajectory manifests.
 
@@ -210,18 +226,9 @@ class SequenceDataset:
 
     def frames(self) -> Iterator[Dict[str, np.ndarray]]:
         """Streaming eval: yield single-frame batches [1, h, w, ...] in
-        trajectory order (state carried by the caller)."""
+        trajectory order (state carried by the caller). Windowed datasets
+        (db_seq_len set) are unrolled along the time axis — previously the
+        whole [1, T, ...] window leaked through, crashing any frames()
+        consumer (e.g. --mode=predict with --db_seq_len set)."""
         assert not self.train_like
-        for batch in self.batches():
-            if self.db_seq_len is None:
-                yield {
-                    "rgb": batch["rgb"][:, 0],
-                    "depth": batch["depth"][:, 0],
-                    "rot": batch["rot"][:, 0],
-                    "trans": batch["trans"][:, 0],
-                    "new_traj": batch["new_traj"][:, 0],
-                    "camera_f": batch["camera_f"],
-                    "camera_c": batch["camera_c"],
-                }
-            else:
-                yield batch
+        yield from iter_frames(self.batches())

@@ -214,6 +214,20 @@ class RecordSequenceDataset:
                  num_workers: int = 4, host_shard: bool = False):
         self.reader = RecordTrajectoryReader(store_dir)
         self.adapter = adapter
+        if (adapter is not None and len(self.reader)
+                and hasattr(adapter, "set_output_size")):
+            # the store is pre-decoded at conversion-time resolution; size
+            # the adapter to it (eval_crop_mask etc. must match the STORED
+            # frames — a default-sized mask against a differently-sized
+            # store broadcast-crashed mid-eval before this check)
+            stored_hw = tuple(
+                self.reader.read_frames(0, 0, 1)[0]["RGB_im"].shape[:2])
+            if tuple(getattr(adapter, "out_size", ())) != stored_hw:
+                print(f"record store frames are {stored_hw}; overriding "
+                      f"adapter out_size "
+                      f"{tuple(getattr(adapter, 'out_size', ()))}",
+                      flush=True)
+                adapter.set_output_size(stored_hw)
         self.usecase = usecase
         self.train_like = usecase in ("train", "finetune")
         if self.train_like and (db_seq_len is None or db_seq_len < seq_len):
@@ -316,18 +330,9 @@ class RecordSequenceDataset:
 
     def frames(self) -> Iterator[Dict[str, np.ndarray]]:
         """Streaming eval: yield single-frame batches [1, h, w, ...] in
-        trajectory order (interface parity with SequenceDataset.frames)."""
+        trajectory order (interface parity with SequenceDataset.frames —
+        windowed stores are unrolled along the time axis, as there)."""
+        from m4depth_tpu.data.pipeline import iter_frames
+
         assert not self.train_like
-        for batch in self.batches():
-            if self.db_seq_len is None:
-                yield {
-                    "rgb": batch["rgb"][:, 0],
-                    "depth": batch["depth"][:, 0],
-                    "rot": batch["rot"][:, 0],
-                    "trans": batch["trans"][:, 0],
-                    "new_traj": batch["new_traj"][:, 0],
-                    "camera_f": batch["camera_f"],
-                    "camera_c": batch["camera_c"],
-                }
-            else:
-                yield batch
+        yield from iter_frames(self.batches())

@@ -28,6 +28,23 @@ from m4depth_tpu.train.step import (
 )
 
 
+# jitted eval steps cached per model INSTANCE: per-epoch validation calls
+# evaluate() repeatedly with the same model, and a fresh jax.jit(closure)
+# each call keys the jit cache on a new function object — a full XLA
+# retrace+compile of the eval graph every epoch. Keyed by id() with the
+# model kept in the entry (strong ref pins the id; identity re-checked).
+_STEP_CACHE: dict = {}
+
+
+def _jitted_step(kind: str, model: M4Depth, make):
+    key = (kind, id(model))
+    ent = _STEP_CACHE.get(key)
+    if ent is None or ent[0] is not model:
+        ent = (model, jax.jit(make(model)))
+        _STEP_CACHE[key] = ent
+    return ent[1]
+
+
 def evaluate_streaming(model: M4Depth, params, dataset: SequenceDataset,
                        progress_every: int = 0,
                        trace=None, max_steps: int = 0) -> Dict[str, float]:
@@ -35,7 +52,7 @@ def evaluate_streaming(model: M4Depth, params, dataset: SequenceDataset,
 
     ``max_steps`` > 0 bounds the number of frames scored (validation-time
     subset; 0 = the full set, the reference's only mode)."""
-    step = jax.jit(make_streaming_eval_step(model))
+    step = _jitted_step("stream", model, make_streaming_eval_step)
     acc = MetricAccumulator.zeros()
     model_state = None
     n = 0
@@ -61,7 +78,7 @@ def evaluate_windowed(model: M4Depth, params, dataset: SequenceDataset,
                       progress_every: int = 0,
                       trace=None, max_steps: int = 0) -> Dict[str, float]:
     """Fixed-window evaluation scoring the last frame of each window."""
-    step = jax.jit(make_windowed_eval_step(model))
+    step = _jitted_step("window", model, make_windowed_eval_step)
     acc = MetricAccumulator.zeros()
     n = 0
     for batch in dataset.batches():

@@ -32,6 +32,10 @@ def make_mesh(
         known = int(np.prod([s for s in shapes if s != -1])) or 1
         shapes[shapes.index(-1)] = len(devices) // known
     n = int(np.prod(shapes))
+    if n > len(devices):
+        raise ValueError(
+            f"mesh axis_shapes {tuple(axis_shapes)} require {n} devices "
+            f"but only {len(devices)} are available")
     if n < len(devices):
         print(f"make_mesh: using {n} of {len(devices)} devices "
               f"(axis_shapes {tuple(axis_shapes)} does not cover the rest)")

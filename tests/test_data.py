@@ -106,6 +106,21 @@ class TestPipeline:
         assert new_trajs[0] and new_trajs[10]
         assert sum(new_trajs) == 2
 
+    def test_windowed_frames_unrolled(self, midair_fixture):
+        """frames() on a windowed dataset (db_seq_len set) must unroll the
+        time axis into single frames — the whole [1, T, ...] window used to
+        leak through, crashing any frames() consumer (--mode=predict with
+        --db_seq_len set fed rank-5 rgb into the streaming step)."""
+        db, records = midair_fixture
+        ds = SequenceDataset(
+            get_adapter("midair"), db, records, usecase="eval",
+            db_seq_len=4, out_size=(16, 16), num_workers=2)
+        frames = list(ds.frames())
+        assert len(frames) == 16  # 2 trajs x (10//4) windows x 4 frames
+        assert frames[0]["rgb"].shape == (1, 16, 16, 3)
+        assert frames[0]["new_traj"].shape == (1,)
+        assert bool(frames[0]["new_traj"][0])
+
     def test_windowed_eval(self, midair_fixture):
         db, records = midair_fixture
         ds = SequenceDataset(

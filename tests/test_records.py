@@ -170,6 +170,40 @@ class TestRound2Fixes:
             RecordSequenceDataset(str(tmp_path / "store"), usecase="train",
                                   db_seq_len=2, seq_len=4)
 
+    def test_store_resolution_overrides_adapter(self, tmp_path):
+        """Opening a store must size the adapter to the STORED resolution:
+        an eval_crop_mask sized by a stale out_size against differently-
+        sized stored depth broadcast-crashed mid-evaluation."""
+        from m4depth_tpu.data import get_adapter
+
+        rng = np.random.RandomState(6)
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=1)
+        writer.write_trajectory(make_frames(rng, 4), name="t0")  # 8x8 frames
+        writer.close()
+        adapter = get_adapter("kitti-raw")
+        adapter.set_output_size((256, 768))  # stale / mismatched
+        ds = RecordSequenceDataset(str(tmp_path / "store"), adapter=adapter,
+                                   usecase="eval", db_seq_len=4,
+                                   augment=False, num_workers=1)
+        assert tuple(adapter.out_size) == (8, 8)
+        batch = next(ds.batches())  # masked multiply must not broadcast-fail
+        assert batch["depth"].shape == (1, 4, 8, 8, 1)
+
+    def test_windowed_store_frames_unrolled(self, tmp_path):
+        """Record-store frames() unrolls windowed batches to single frames
+        (interface parity with SequenceDataset.frames)."""
+        rng = np.random.RandomState(7)
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=1)
+        writer.write_trajectory(make_frames(rng, 8), name="t0")
+        writer.close()
+        ds = RecordSequenceDataset(str(tmp_path / "store"), usecase="eval",
+                                   db_seq_len=4, augment=False,
+                                   num_workers=1)
+        frames = list(ds.frames())
+        assert len(frames) == 8  # 2 windows x 4 frames
+        assert frames[0]["rgb"].shape == (1, 8, 8, 3)
+        assert frames[0]["new_traj"].shape == (1,)
+
     def test_eval_crop_applied_at_read(self, tmp_path):
         """KITTI stores are written with train decoding; the Garg/Eigen crop
         must still gate eval depth when reading."""

@@ -43,6 +43,14 @@ class TestDataParallel:
         mesh = make_mesh((-1,), ("data",))
         assert mesh.devices.size == 8
 
+    def test_mesh_over_request_raises(self):
+        """Asking for more mesh slots than devices must fail with a clear
+        error, not numpy's cryptic 'cannot reshape array of size 8'."""
+        import pytest
+
+        with pytest.raises(ValueError, match="require 16 devices"):
+            make_mesh((16,), ("data",))
+
     def test_sharded_train_step_matches_single_device(self):
         rng = np.random.RandomState(0)
         cfg = tiny_cfg()

@@ -39,6 +39,23 @@ def test_respawns_after_child_exits():
     v.close()
 
 
+def test_failed_child_is_surfaced(capsys):
+    """A validation child that exits nonzero must be COUNTED and WARNED
+    about — a child crashing every epoch (bad val path, rejected flag) used
+    to be reaped silently, leaving an empty best-K ledger with no hint."""
+    import time as _time
+
+    v = SubprocessValidator(
+        cmd=None, args=[sys.executable, "-c", "import sys; sys.exit(3)"])
+    v(None)
+    deadline = _time.time() + 10
+    while v.busy and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert v.failed == 1
+    assert "rc=3" in capsys.readouterr().out
+    v.close()
+
+
 def test_close_reaps():
     v = stub_validator(0.2)
     v(None)
