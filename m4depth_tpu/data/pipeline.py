@@ -71,6 +71,20 @@ def iter_frames(batches) -> Iterator[Dict[str, np.ndarray]]:
             }
 
 
+def stack_batch(seqs: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    """Stack per-sequence dicts into a [b, T, ...] batch (shared by the CSV
+    and record-store pipelines — one place for the batch schema)."""
+    return {
+        "rgb": np.stack([s["RGB_im"] for s in seqs]),
+        "depth": np.stack([s["depth"] for s in seqs]),
+        "rot": np.stack([s["rot"] for s in seqs]),
+        "trans": np.stack([s["trans"] for s in seqs]),
+        "new_traj": np.stack([s["new_traj"] for s in seqs]),
+        "camera_f": np.stack([s["camera_f"] for s in seqs]),
+        "camera_c": np.stack([s["camera_c"] for s in seqs]),
+    }
+
+
 class SequenceDataset:
     """Windowed sequence dataset over CSV trajectory manifests.
 
@@ -194,18 +208,6 @@ class SequenceDataset:
             seq = self.adapter.augment_sequence(seq, rng, self.usecase)
         return seq
 
-    def _stack_batch(self, seqs: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-        batch = {
-            "rgb": np.stack([s["RGB_im"] for s in seqs]),
-            "depth": np.stack([s["depth"] for s in seqs]),
-            "rot": np.stack([s["rot"] for s in seqs]),
-            "trans": np.stack([s["trans"] for s in seqs]),
-            "new_traj": np.stack([s["new_traj"] for s in seqs]),
-            "camera_f": np.stack([s["camera_f"] for s in seqs]),
-            "camera_c": np.stack([s["camera_c"] for s in seqs]),
-        }
-        return batch
-
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
         """Yield [b, T, ...] batches; train order reshuffles per epoch."""
         rng = np.random.RandomState(self.seed + epoch)
@@ -221,7 +223,7 @@ class SequenceDataset:
                                 self.num_workers, ahead):
             pending.append(seq)
             if len(pending) == self.batch_size:
-                yield self._stack_batch(pending)
+                yield stack_batch(pending)
                 pending = []
 
     def frames(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -222,7 +222,20 @@ class RecordSequenceDataset:
             # store broadcast-crashed mid-eval before this check)
             stored_hw = tuple(
                 self.reader.read_frames(0, 0, 1)[0]["RGB_im"].shape[:2])
-            if tuple(getattr(adapter, "out_size", ())) != stored_hw:
+            # stores hold frames at the adapter's DECODE resolution — the
+            # intermediate size (== out_size unless crop=True widens it)
+            decode_hw = tuple(
+                getattr(adapter, "intermediate_size", None)
+                or getattr(adapter, "out_size", ()))
+            if decode_hw != stored_hw:
+                if getattr(adapter, "crop", False):
+                    # set_output_size(stored_hw) would silently reset
+                    # crop=False and change the training geometry; there is
+                    # no way to infer the intended crop at a foreign size
+                    raise ValueError(
+                        f"record store frames are {stored_hw} but the "
+                        f"adapter (crop=True) decodes at {decode_hw}; "
+                        f"re-convert the store or fix the adapter size")
                 print(f"record store frames are {stored_hw}; overriding "
                       f"adapter out_size "
                       f"{tuple(getattr(adapter, 'out_size', ()))}",
@@ -304,7 +317,7 @@ class RecordSequenceDataset:
         return seq
 
     def batches(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
-        from m4depth_tpu.data.pipeline import _bounded_map
+        from m4depth_tpu.data.pipeline import _bounded_map, stack_batch
 
         rng = np.random.RandomState(self.seed + epoch)
         order = np.arange(len(self.windows))
@@ -317,15 +330,7 @@ class RecordSequenceDataset:
                                 max(self.num_workers, 2 * self.batch_size)):
             pending.append(seq)
             if len(pending) == self.batch_size:
-                yield {
-                    "rgb": np.stack([s["RGB_im"] for s in pending]),
-                    "depth": np.stack([s["depth"] for s in pending]),
-                    "rot": np.stack([s["rot"] for s in pending]),
-                    "trans": np.stack([s["trans"] for s in pending]),
-                    "new_traj": np.stack([s["new_traj"] for s in pending]),
-                    "camera_f": np.stack([s["camera_f"] for s in pending]),
-                    "camera_c": np.stack([s["camera_c"] for s in pending]),
-                }
+                yield stack_batch(pending)
                 pending = []
 
     def frames(self) -> Iterator[Dict[str, np.ndarray]]:

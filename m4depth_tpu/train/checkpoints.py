@@ -118,6 +118,18 @@ class BestCheckpointManager:
             return True
 
         ledger = pd.read_csv(self.ledger_path)
+        dup = ledger.index[ledger["ckpt_name"] == f"ckpt-{epoch:04d}"]
+        if len(dup):
+            # Same-epoch re-validation: backup dirs are keyed by epoch, so a
+            # second row would alias the first's directory and a later
+            # eviction of either would delete the weights both rows
+            # reference. Replace the row in place — the overwritten backup
+            # now holds this state, so its metrics must describe it.
+            row["ckpt_name"] = self._backup(epoch, state)
+            for k, v in row.items():
+                ledger.loc[dup[0], k] = v
+            ledger.to_csv(self.ledger_path, index=False)
+            return True
         if ledger.shape[0] < self.keep_top_n:
             row["ckpt_name"] = self._backup(epoch, state)
             ledger = pd.concat([ledger, pd.DataFrame([row])],

@@ -103,17 +103,28 @@ def fit(
     _epoch0_gen = dataset.batches(0)
     sample = next(_epoch0_gen)
     epoch0 = itertools.chain([sample], _epoch0_gen)
-    batch_size = sample["rgb"].shape[0]
+    batch_size = sample["rgb"].shape[0]  # per-host (local) batch
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes)
     lr_schedule = getattr(cfg, "lr_schedule", "constant")
-    if batch_size % mesh.devices.size != 0:
+    n_proc = max(jax.process_count(), 1)
+    global_batch = batch_size * n_proc  # hosts feed equal local slices
+    if global_batch % mesh.devices.size != 0:
+        if n_proc > 1:
+            # a shrunken submesh cannot cover every host's addressable
+            # devices; make_array_from_process_local_data would fail or
+            # mis-shard — fail loudly instead
+            raise ValueError(
+                f"global batch {global_batch} ({batch_size}/host x "
+                f"{n_proc} hosts) not divisible by {mesh.devices.size} "
+                f"devices; choose a divisible per-host batch")
         # shrink the data axis to the largest divisor of the batch
         n = mesh.devices.size
-        while batch_size % n != 0:
+        while global_batch % n != 0:
             n -= 1
-        print(f"batch {batch_size} not divisible by {mesh.devices.size} "
+        print(f"batch {global_batch} not divisible by {mesh.devices.size} "
               f"devices; using a {n}-device data mesh")
-        mesh = make_mesh((n,), cfg.mesh_axes)
+        # the fallback mesh is 1-D: keep only one axis name
+        mesh = make_mesh((n,), cfg.mesh_axes[:1])
     logger = MetricLogger(cfg.log_dir)
     state = create_train_state(model, jax.random.PRNGKey(cfg.seed), sample,
                                learning_rate=cfg.learning_rate,
@@ -172,12 +183,7 @@ def fit(
             for batch in batches:
                 sharded = shard_batch_pytree(batch, mesh)
                 t0 = time.time()
-                try:
-                    state, scalars = dp_step(state, sharded)
-                except Exception as e:  # surface device OOM distinctly
-                    if "RESOURCE_EXHAUSTED" in str(e):
-                        raise OutOfMemory(str(e)) from e
-                    raise
+                state, scalars = dp_step(state, sharded)
                 inflight.append((step_idx, scalars["loss"]))
                 drain_nan_checks(nan_lag)
                 meter.tick(time.time() - t0)
@@ -211,6 +217,15 @@ def fit(
                     logger.log_scalars(step_idx, perfs, prefix="val/")
                     if best_mgr is not None:
                         best_mgr.update(epoch, perfs, state)
+    except Exception as e:
+        # surface device OOM distinctly (parity: legacy exit code -2).
+        # Dispatch is async, so RESOURCE_EXHAUSTED can surface at any later
+        # blocking host read (float(loss) in the tripwire, logging, the
+        # checkpoint save) — catch it at the loop level, not per dispatch.
+        if (not isinstance(e, (NaNStop, OutOfMemory))
+                and "RESOURCE_EXHAUSTED" in str(e)):
+            raise OutOfMemory(str(e)) from e
+        raise
     finally:
         ckpt_mgr.close()
         logger.close()

@@ -154,6 +154,33 @@ class TestBestCheckpointManager:
             str(tmp_path / "missing"), str(tmp_path / "train"),
             tiny_state()) is None
 
+    def test_same_epoch_revalidation_replaces_row_in_place(self, tmp_path):
+        """Backup dirs are keyed by epoch: a second update() for an
+        already-ledgered epoch must replace that row, not append a second
+        row aliasing the same directory (whose later eviction would delete
+        the weights both rows reference)."""
+        import os
+
+        import pandas as pd
+
+        best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
+                                     keep_top_n=2)
+        best.update(0, perfs(0.5, 0.5), tiny_state())
+        best.update(1, perfs(0.6, 0.4), tiny_state())
+        # re-validate epoch 1 with different metrics and weights
+        state2 = tiny_state().replace(step=99)
+        assert best.update(1, perfs(0.45, 0.55), state2)
+        ledger = pd.read_csv(best.ledger_path)
+        assert ledger.shape[0] == 2  # replaced, not appended
+        assert sorted(ledger["ckpt_name"]) == ["ckpt-0000", "ckpt-0001"]
+        row = ledger[ledger["ckpt_name"] == "ckpt-0001"].iloc[0]
+        assert row["abs_rel"] == pytest.approx(0.45)  # new metrics
+        # both directories exist and the winner restores cleanly
+        for name in ledger["ckpt_name"]:
+            assert os.path.isdir(os.path.join(str(tmp_path / "b"), name))
+        assert best.best_checkpoint_name() == "ckpt-0001"
+        assert int(best.restore_best(tiny_state()).step) == 99
+
     def test_restore_best(self, tmp_path):
         best = BestCheckpointManager(str(tmp_path / "t"), str(tmp_path / "b"),
                                      keep_top_n=1)

@@ -189,6 +189,43 @@ class TestRound2Fixes:
         batch = next(ds.batches())  # masked multiply must not broadcast-fail
         assert batch["depth"].shape == (1, 4, 8, 8, 1)
 
+    def test_store_matching_crop_adapter_untouched(self, tmp_path):
+        """A crop adapter decodes at intermediate_size (the square long-edge
+        box), which is what conversion stored — when that matches, the
+        override must NOT fire (it used to reset crop=False via
+        set_output_size's default, silently changing the train geometry)."""
+        from m4depth_tpu.data import get_adapter
+
+        rng = np.random.RandomState(8)
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=1)
+        writer.write_trajectory(make_frames(rng, 4), name="t0")  # 8x8 frames
+        writer.close()
+        adapter = get_adapter("midair")
+        adapter.set_output_size((4, 8), crop=True)  # intermediate -> (8, 8)
+        assert tuple(adapter.intermediate_size) == (8, 8)
+        RecordSequenceDataset(str(tmp_path / "store"), adapter=adapter,
+                              usecase="train", db_seq_len=4, seq_len=4,
+                              augment=False, num_workers=1)
+        assert adapter.crop is True
+        assert tuple(adapter.out_size) == (4, 8)
+
+    def test_store_mismatched_crop_adapter_fails_loudly(self, tmp_path):
+        """When a crop adapter's decode size disagrees with the store, the
+        intended crop at the stored size is unknowable — refuse instead of
+        silently retraining uncropped."""
+        from m4depth_tpu.data import get_adapter
+
+        rng = np.random.RandomState(9)
+        writer = RecordStoreWriter(str(tmp_path / "store"), num_shards=1)
+        writer.write_trajectory(make_frames(rng, 4), name="t0")  # 8x8 frames
+        writer.close()
+        adapter = get_adapter("midair")
+        adapter.set_output_size((256, 768), crop=True)
+        with pytest.raises(ValueError, match="crop=True"):
+            RecordSequenceDataset(str(tmp_path / "store"), adapter=adapter,
+                                  usecase="train", db_seq_len=4, seq_len=4,
+                                  augment=False, num_workers=1)
+
     def test_windowed_store_frames_unrolled(self, tmp_path):
         """Record-store frames() unrolls windowed batches to single frames
         (interface parity with SequenceDataset.frames)."""

@@ -66,6 +66,19 @@ class TestFit:
         state2 = fit(model, ds, cfg, total_steps=6, nan_check_every=1)
         assert int(state2.step) == 6
 
+    def test_indivisible_batch_falls_back_on_hybrid_mesh(self, tmp_path):
+        """Batch 3 on the 8-device (2,4) hybrid ('dcn','ici') mesh: the
+        shrink fallback builds a 1-D mesh, so it must keep only one axis
+        name — make_mesh((3,), ('dcn','ici')) used to raise ValueError."""
+        ds = SyntheticDataset(n_batches=2, b=3)
+        cfg = TrainConfig(ckpt_dir=str(tmp_path / "ckpt"),
+                          log_dir=str(tmp_path / "logs"),
+                          mesh_shape=(2, 4), mesh_axes=("dcn", "ici"),
+                          learning_rate=1e-3, summary_interval=1)
+        state = fit(tiny_model(), ds, cfg, total_steps=2, nan_check_every=1,
+                    log_every=2)
+        assert int(state.step) == 2
+
     def test_nan_tripwire_refuses_to_save(self, tmp_path):
         ds = SyntheticDataset(n_batches=2, poison=True)
         cfg = TrainConfig(ckpt_dir=str(tmp_path / "ckpt"),
