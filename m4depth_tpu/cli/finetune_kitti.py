@@ -77,6 +77,7 @@ def main(argv=None):
     from m4depth_tpu.cli.options import (
         build_parser,
         dataset_locations,
+        finetune_total_steps,
         model_config_from_args,
         train_config_from_args,
     )
@@ -90,7 +91,6 @@ def main(argv=None):
 
     from m4depth_tpu.data import SequenceDataset, get_adapter
     from m4depth_tpu.models import M4Depth
-    from m4depth_tpu.train.checkpoints import TrainCheckpointManager
     from m4depth_tpu.train.loop import fit
 
     kitti = SequenceDataset(
@@ -98,30 +98,23 @@ def main(argv=None):
         os.path.join(cmd.records_path, "kitti-raw-filtered", "train_data"),
         usecase="finetune", db_seq_len=4, seq_len=4,
         batch_size=cmd.batch_size, augment=True,
-        num_workers=cmd.num_workers)
+        seed=cmd.seed, num_workers=cmd.num_workers)
     midair = SequenceDataset(
         get_adapter("midair"), db_paths.get("midair", ""),
         os.path.join(cmd.records_path, "midair", "train_data"),
         usecase="finetune", db_seq_len=8, seq_len=4,
         batch_size=cmd.batch_size, augment=True,
         out_size=kitti.adapter.out_size, crop=True,
-        num_workers=cmd.num_workers)
+        seed=cmd.seed, num_workers=cmd.num_workers)
 
-    joint = JointSampler(kitti, midair)
+    joint = JointSampler(kitti, midair, seed=cmd.seed)
 
     cfg = model_config_from_args(cmd, depth_type="velodyne")
     model = M4Depth(cfg)
     tcfg = train_config_from_args(cmd)
 
-    mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
-    resume = mgr.resume_epoch
-    mgr.close()
-    # reference semantics: resume + steps//len + 1 epochs
-    # (finetune-kitti.py:85) — the +1 guarantees at least one finetune
-    # epoch even when finetune_steps < one epoch; without it a resumed
-    # run with finetune_steps < len(joint) floors to zero new epochs and
-    # silently trains nothing (same math as cli/main.py finetune mode)
-    total = (resume + cmd.finetune_steps // len(joint) + 1) * len(joint)
+    total = finetune_total_steps(cmd.ckpt_dir, cmd.finetune_steps,
+                                 len(joint))
 
     validation_fn = None
     if cmd.enable_validation:

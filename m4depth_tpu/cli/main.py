@@ -42,7 +42,11 @@ def build_dataset(cmd, usecase: str, db_paths: dict, batch_size: int,
         # JPEG/PNG per epoch (legacy TFRecord-DB parity, protobuf_db.py)
         from m4depth_tpu.data.records import RecordSequenceDataset
 
-        adapter.set_output_size(cmd.out_size)
+        # same crop semantics as the CSV branch below: Mid-Air finetune
+        # random-crops a square intermediate down to the KITTI out_size
+        adapter.set_output_size(
+            cmd.out_size,
+            crop=(usecase == "finetune" and cmd.dataset == "midair"))
         return RecordSequenceDataset(
             cmd.record_store,
             adapter=adapter,
@@ -346,16 +350,10 @@ def main(argv=None):
                 validation_fn = make_validation_fn(cmd, model, db_paths)
 
         if cmd.mode == "finetune":
-            from m4depth_tpu.train.checkpoints import TrainCheckpointManager
+            from m4depth_tpu.cli.options import finetune_total_steps
 
-            mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
-            resume = mgr.resume_epoch
-            mgr.close()
-            # reference semantics: resume + steps//len + 1 epochs
-            # (finetune-kitti.py:85) — the +1 guarantees at least one
-            # finetune epoch even when finetune_steps < one epoch
-            total = (resume + cmd.finetune_steps // len(dataset)
-                     + 1) * len(dataset)
+            total = finetune_total_steps(cmd.ckpt_dir, cmd.finetune_steps,
+                                         len(dataset))
         else:
             total = cmd.total_steps
         augment_fn = None
@@ -393,11 +391,19 @@ def main(argv=None):
             from m4depth_tpu.train.checkpoints import TrainCheckpointManager
 
             mgr = TrainCheckpointManager(os.path.join(cmd.ckpt_dir, "train"))
+            if mgr.latest_epoch is None:
+                # nothing trained yet: evaluating scratch-initialized params
+                # would ledger untrained weights into ckpt_dir/best, which a
+                # later --mode=eval would then silently load
+                mgr.close()
+                print("validation: no checkpoint in "
+                      f"{os.path.join(cmd.ckpt_dir, 'train')}; nothing to "
+                      "validate", flush=True)
+                return 1
             val_state = create_train_state(model, jax.random.PRNGKey(0),
                                            init_sample(cmd))
-            val_epoch = mgr.latest_epoch or 0
-            if mgr.latest_epoch is not None:
-                val_state = mgr.restore_latest(val_state)
+            val_epoch = mgr.latest_epoch
+            val_state = mgr.restore_latest(val_state)
             mgr.close()
             params = val_state.params
         else:

@@ -250,3 +250,22 @@ def dataset_locations(cmd) -> dict:
     if os.path.isfile(cmd.db_path_config):
         return load_dataset_locations(cmd.db_path_config)
     return {}
+
+
+def finetune_total_steps(ckpt_dir: str, finetune_steps: int,
+                         epoch_len: int) -> int:
+    """Total optimizer steps for a (possibly resumed) finetune run.
+
+    Reference semantics: resume + steps//len + 1 epochs
+    (finetune-kitti.py:85) — the +1 guarantees at least one finetune epoch
+    even when finetune_steps < one epoch; without it a resumed run with
+    finetune_steps < epoch_len floors to zero new epochs and silently
+    trains nothing. Shared by cli/main.py finetune mode and
+    cli/finetune_kitti.py so the resume accounting can't diverge.
+    """
+    from m4depth_tpu.train.checkpoints import TrainCheckpointManager
+
+    mgr = TrainCheckpointManager(os.path.join(ckpt_dir, "train"))
+    resume = mgr.resume_epoch
+    mgr.close()
+    return (resume + finetune_steps // epoch_len + 1) * epoch_len

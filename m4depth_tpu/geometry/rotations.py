@@ -31,21 +31,26 @@ def rot_mat_quaternion(q: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix from a (w, x, y, z) quaternion.
 
     q: [..., 4] -> [..., 3, 3]. Assumes unit norm (same as the reference).
+    Uses the outer-product identity R = (w^2 - v.v) I + 2 v v^T + 2 w [v]x
+    — identical to the expanded per-entry form for unit quaternions, and a
+    batched-einsum shape XLA fuses well.
     """
-    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    tx, ty, tz = 2.0 * x, 2.0 * y, 2.0 * z
-    twx, twy, twz = tx * w, ty * w, tz * w
-    txx, txy, txz = tx * x, ty * x, tz * x
-    tyy, tyz, tzz = ty * y, tz * y, tz * z
-    rows = jnp.stack(
+    w = q[..., :1]
+    v = q[..., 1:]
+    eye = jnp.eye(3, dtype=q.dtype)
+    zero = jnp.zeros_like(v[..., 0])
+    vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+    skew = jnp.stack(
         [
-            jnp.stack([1.0 - (tyy + tzz), txy - twz, txz + twy], axis=-1),
-            jnp.stack([txy + twz, 1.0 - (txx + tzz), tyz - twx], axis=-1),
-            jnp.stack([txz - twy, tyz + twx, 1.0 - (txx + tyy)], axis=-1),
+            jnp.stack([zero, -vz, vy], axis=-1),
+            jnp.stack([vz, zero, -vx], axis=-1),
+            jnp.stack([-vy, vx, zero], axis=-1),
         ],
         axis=-2,
     )
-    return rows
+    vvt = v[..., :, None] * v[..., None, :]
+    scal = (w * w - jnp.sum(v * v, axis=-1, keepdims=True))[..., None]
+    return scal * eye + 2.0 * vvt + 2.0 * w[..., None] * skew
 
 
 def rot_mat(rot: jnp.ndarray) -> jnp.ndarray:

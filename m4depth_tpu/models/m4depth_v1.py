@@ -121,7 +121,13 @@ class DecoderLevelV1(nn.Module):
         if prev_t_depth is None:
             d_0 = jnp.ones((b, h, w, 1), jnp.float32)
         else:
-            d_0 = recompute_depth(prev_t_depth, rot, trans, camera)
+            # legacy recompute_depth uses the TRANSPOSED small-angle row
+            # [ry, -rx, 1] (.legacy/m4depth_model.py:62) where the current
+            # generation uses R's last row [-ry, rx, 1] (the fossil is
+            # commented out at utils/depth_operations.py:118). For the
+            # I+skew small-angle form R(-w) == R(w)^T exactly, so negating
+            # rot reproduces the legacy convention bit-for-bit.
+            d_0 = recompute_depth(prev_t_depth, -rot, trans, camera)
             if new_traj is not None:
                 mask = new_traj.reshape(b, 1, 1, 1)
                 d_0 = jnp.where(mask, jnp.ones_like(d_0), d_0)
@@ -246,7 +252,11 @@ def m4depth_v1_loss(gt_depth_seq: jnp.ndarray, preds,
     (.legacy/m4depth_pipeline.py:108-131)."""
     T = gt_depth_seq.shape[1]
     total = jnp.asarray(0.0, jnp.float32)
-    frames = range(T) if single_frame else range(1, T)
+    # single-frame ("special case 1") scores frames 0..T-2 — the last
+    # frame's prediction is never scored — with the same 1/max(1,T-1)
+    # normalization as the temporal case (legacy loop
+    # `range(max(self.seq_len - 1, 1))`, m4depth_pipeline.py:111)
+    frames = range(max(T - 1, 1)) if single_frame else range(1, T)
     for t in frames:
         gt = jnp.clip(gt_depth_seq[:, t].astype(jnp.float32), 0.1, 200.0)
         gt_log = jnp.log(gt)

@@ -165,6 +165,29 @@ class TestCliRecordStore:
         ])
         assert rc == 1
 
+    def test_validation_without_checkpoint_refuses(self, fixture_env,
+                                                    tmp_path):
+        """--mode=validation against an empty train dir must NOT evaluate
+        scratch-initialized params and ledger them into ckpt_dir/best (a
+        later --mode=eval would silently load the untrained weights)."""
+        root, records, cfg = fixture_env
+        from m4depth_tpu.cli.main import main
+
+        ckpt = str(tmp_path / "fresh")
+        rc = main([
+            "--mode=validation", "--dataset=midair",
+            f"--db_path_config={cfg}",
+            f"--records_path={records}",
+            f"--ckpt_dir={ckpt}",
+            "--arch_depth=2", "--out_size", "32", "32",
+            "--num_workers=2", "--compute_dtype=float32",
+        ])
+        assert rc == 1
+        assert not os.path.exists(
+            os.path.join(ckpt, "best", "validation_perfs.csv"))
+        assert not os.path.exists(
+            os.path.join(ckpt, "validation-perfs.txt"))
+
     def test_promote_resaves_best_under_train_naming(self, tmp_path):
         """CLI promote verb: a best checkpoint created by the validation
         path must become visible to TrainCheckpointManager.latest_step in

@@ -93,6 +93,64 @@ class TestV1:
         np.testing.assert_allclose(np.array(preds_same[0][0]),
                                    np.array(preds_same[1][0]), rtol=1e-4)
 
+    def test_depth_recurrence_matches_legacy_row(self):
+        """The V1 temporal-memory rotation compensation uses the LEGACY
+        transposed small-angle row [ry, -rx, 1] with -t
+        (.legacy/m4depth_model.py:54-82), not the current generation's
+        [-ry, rx, 1]. The model passes -rot to recompute_depth; pin that
+        composition against a numpy oracle of the legacy formula."""
+        from m4depth_tpu.geometry import recompute_depth
+
+        rng = np.random.RandomState(11)
+        b, h, w = 2, 8, 8
+        depth = rng.uniform(5, 50, (b, h, w, 1)).astype(np.float32)
+        rot = np.array([[0.02, -0.03, 0.01], [-0.01, 0.04, -0.02]],
+                       np.float32)
+        trans = np.array([[0.1, -0.2, 0.5], [-0.3, 0.1, 0.4]], np.float32)
+        f = np.full((b, 2), w / 2.0, np.float32)
+        c = np.full((b, 2), w / 2.0, np.float32)
+        cam = Camera(f=jnp.asarray(f), c=jnp.asarray(c))
+
+        # legacy oracle: new_z = (ry*x/f - rx*y/f + 1)*z + (-ry*tx + rx*ty - tz)
+        gx, gy = np.meshgrid(np.arange(w) + 0.5, np.arange(h) + 0.5)
+        expect = np.empty_like(depth)
+        for i in range(b):
+            xn = (gx - c[i, 0]) / f[i, 0]
+            yn = (gy - c[i, 1]) / f[i, 1]
+            rx, ry, _ = rot[i]
+            scale = ry * xn - rx * yn + 1.0
+            shift = -ry * trans[i, 0] + rx * trans[i, 1] - trans[i, 2]
+            expect[i, :, :, 0] = np.clip(
+                scale * depth[i, :, :, 0] + shift, 0.1, 2000.0)
+
+        got = np.asarray(recompute_depth(jnp.asarray(depth),
+                                         jnp.asarray(-rot),
+                                         jnp.asarray(trans), cam))
+        np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-5)
+
+    def test_single_frame_loss_skips_last_frame(self):
+        """Legacy 'special case 1' scores frames 0..T-2 only and divides by
+        max(1, T-1) (m4depth_pipeline.py:111,129) — the last frame's
+        prediction must not contribute."""
+        b, T, h, w = 1, 3, 4, 4
+        gt = jnp.full((b, T, h, w, 1), 10.0)
+        good = jnp.full((b, h, w, 1), 10.0)   # zero log-L1 vs gt
+        bad = jnp.full((b, h, w, 1), 100.0)   # would add if scored
+        preds_clean = [[good] for _ in range(T)]
+        preds_poison_last = [[good], [good], [bad]]
+        l_clean = float(m4depth_v1_loss(gt, preds_clean, single_frame=True))
+        l_poison = float(m4depth_v1_loss(gt, preds_poison_last,
+                                         single_frame=True))
+        assert l_clean == pytest.approx(0.0, abs=1e-6)
+        assert l_poison == pytest.approx(l_clean, abs=1e-6)
+        # ...but poisoning a SCORED frame moves the loss, / (T-1)
+        preds_poison_mid = [[good], [bad], [good]]
+        l_mid = float(m4depth_v1_loss(gt, preds_poison_mid,
+                                      single_frame=True))
+        expect = (0.64 / 2.0 ** (-1)) * abs(
+            np.log(100.0) - np.log(10.0)) / (T - 1)
+        assert l_mid == pytest.approx(expect, rel=1e-5)
+
     @pytest.mark.slow
     def test_loss_decreases(self):
         rng = np.random.RandomState(3)
